@@ -1,0 +1,107 @@
+"""Golden-corpus + differential tests for the pure-pandas parser core.
+
+Runs without Spark (fast). The same corpus is re-run through the Spark UDF
+in test_parser_spark.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from sparklog import parse as P
+from sparklog import schema as S
+
+from golden_corpus import GOLDEN
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if pd.api.types.is_scalar(v) and pd.isna(v):
+        return None
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _check(name, expected, row: dict):
+    if isinstance(expected, str):
+        assert expected.startswith("ERROR")
+        got = row["parse_error"]
+        assert got is not None, f"{name}: expected error, parsed ok: {row}"
+        if ":" in expected[5:] or expected != "ERROR":
+            want = expected.split(":", 1)[1]
+            assert got == want, f"{name}: error variant {got!r} != {want!r}"
+        for c in S.PARSED_COLUMNS:
+            if c != "parse_error":
+                assert _norm(row[c]) is None, f"{name}: field {c} not null on error"
+    else:
+        assert row["parse_error"] is None, f"{name}: unexpected error {row['parse_error']}"
+        for k, want in expected.items():
+            got = _norm(row[k])
+            assert got == _norm(want), f"{name}.{k}: {got!r} != {want!r}"
+
+
+@pytest.mark.parametrize("name,line,expected", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_golden_slow_path(name, line, expected):
+    _check(name, expected, P._parse_slow(line))
+
+
+@pytest.mark.parametrize("name,line,expected", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_golden_vectorized(name, line, expected):
+    df = P.parse_lines(pd.Series([line]))
+    _check(name, expected, df.iloc[0].to_dict())
+
+
+def test_vectorized_batch_matches_slow():
+    """Whole corpus in one batch: fast path must agree with slow path."""
+    lines = pd.Series([g[1] for g in GOLDEN])
+    fast = P.parse_lines(lines)
+    for i, (name, line, _) in enumerate(GOLDEN):
+        slow = P._parse_slow(line)
+        row = fast.iloc[i].to_dict()
+        for c in S.PARSED_COLUMNS:
+            assert _norm(row[c]) == _norm(slow[c]), (
+                f"{name}.{c}: fast={row[c]!r} slow={slow[c]!r}"
+            )
+
+
+def test_null_input_line():
+    df = P.parse_lines(pd.Series([None, "<1>1 - - - - - -"]))
+    assert df.iloc[0]["parse_error"] == S.ERR_UNEXPECTED_EOF
+    assert df.iloc[1]["parse_error"] is None
+
+
+def test_differential_fuzz():
+    """Property test: fast path == slow path on mutated corpus lines."""
+    import random
+
+    rng = random.Random(42)
+    base = [g[1] for g in GOLDEN]
+    mutated = []
+    for _ in range(500):
+        s = rng.choice(base)
+        op = rng.randrange(4)
+        if op == 0 and s:  # truncate
+            s = s[: rng.randrange(len(s) + 1)]
+        elif op == 1 and s:  # flip one char
+            i = rng.randrange(len(s))
+            s = s[:i] + rng.choice(' <>[]"\\-:.Z019abz\u00e9') + s[i + 1 :]
+        elif op == 2:  # insert
+            i = rng.randrange(len(s) + 1)
+            s = s[:i] + rng.choice(' <>[]"\\-=@語m7') + s[i:]
+        # op==3: unchanged
+        mutated.append(s)
+    fast = P.parse_lines(pd.Series(mutated))
+    for i, line in enumerate(mutated):
+        slow = P._parse_slow(line)
+        row = fast.iloc[i].to_dict()
+        for c in S.PARSED_COLUMNS:
+            assert _norm(row[c]) == _norm(slow[c]), (
+                f"line {line!r} col {c}: fast={row[c]!r} slow={slow[c]!r}"
+            )
