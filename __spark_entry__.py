@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs the REAL pipeline: deterministic synth of a
+syslog line per document (sparklog/synth.py) -> vectorized RFC5424 parse
+(sparklog/parse.py) -> enrich/route/aggregate (sparklog/pipeline.py).
+The matching ``oracle_sql()`` computes the expected values DIRECTLY from
+the shared synthesis arithmetic (sparklog/synthrules.py) in DuckDB — a true
+end-to-end roundtrip check: if the parser mangles any field, hashes diverge.
 """
 
 from __future__ import annotations
@@ -12,27 +13,244 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparklog import pipeline as PL
+from sparklog import synth
+from sparklog import synthrules as R
+from sparklog import textops
+from sparklog import ann as ANN
+from sparklog.udf import parse_df
+
+
+def _parsed(spark: SparkSession, sf_dir: str, corrupt: bool = False) -> DataFrame:
+    return parse_df(synth.lines_df(spark, sf_dir, corrupt=corrupt))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth -> parse -> enrich -> per-facility/severity/hour agg."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    parsed = _parsed(spark, "/root/testdata/sf0.001")
+    ok, _ = PL.split_rejects(parsed)
+    enriched = PL.enrich(ok, spark)
+    return PL.hourly_agg(enriched).orderBy("facility_name", "severity_name", "hour_epoch")
+
+
+# --- query registry ---------------------------------------------------------
+
+def q_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All RFC5424 header fields (PRI decode, version, strict timestamp with
+    offsets+nanos, nil-vs-literal terms, ProcId sum type)."""
+    return _parsed(spark, sf_dir).select(
+        "doc_id", "severity", "facility", "version", "timestamp",
+        "timestamp_nanos", "hostname", "appname", "procid_pid",
+        "procid_name", "msgid",
+    )
+
+
+def q_msg_byte_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule invariant: extracted MSG == pages.text, byte-identical."""
+    return _parsed(spark, sf_dir).select("doc_id", "msg")
+
+
+def q_sd_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructuredData semantics: find_tuple lookups, duplicate-SD-ID merge,
+    escape handling, SD-ID count (message.rs:113-143)."""
+    p = _parsed(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        PL.sd_value("sd", "meta", "lang").alias("meta_lang"),
+        PL.sd_value("sd", "meta", "seq").alias("meta_seq"),
+        PL.sd_value("sd", "meta", "dup").alias("meta_dup"),
+        PL.sd_value("sd", "esc", "note").alias("esc_note"),
+        F.size("sd").cast("int").alias("sd_len"),
+    )
+
+
+def q_enrich_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrichment against facility/severity/lang dims."""
+    p = _parsed(spark, sf_dir)
+    return PL.enrich(p, spark).select(
+        "doc_id", "facility_name", "severity_name", "lang_name"
+    )
+
+
+def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation: per-facility/severity/hour counts."""
+    ok, _ = PL.split_rejects(_parsed(spark, sf_dir))
+    return PL.hourly_agg(PL.enrich(ok, spark)).select(
+        "facility_name", "severity_name", "hour_epoch", "n"
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-severity sink row counts (the routing fan-out contract)."""
+    ok, _ = PL.split_rejects(_parsed(spark, sf_dir))
+    return (
+        PL.enrich(ok, spark, with_lang=False)
+        .groupBy("severity_name").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors-as-data: corrupt lines produce null fields + the reference's
+    error-variant name in parse_error (SURVEY.md §1.4)."""
+    return _parsed(spark, sf_dir, corrupt=True).select("doc_id", "parse_error")
+
+
+def q_routed_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservation law: ok + rejects == input rows, per sink."""
+    parsed = _parsed(spark, sf_dir, corrupt=True)
+    sink = F.coalesce(F.col("severity_name"), F.lit("_rejects"))
+    return (
+        PL.enrich(parsed, spark, with_lang=False)
+        .groupBy(sink.alias("sink"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_count(synth.load_documents(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(synth.load_documents(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.dedup_exact(synth.load_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(synth.load_documents(spark, sf_dir))
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.minhash_neardup(synth.load_documents(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.simhash_neardup(synth.load_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(synth.load_documents(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ANN.brute_force_topk(emb, n_queries=8, k=5)
+
+
+def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """serde-byte-identical JSON encoding (rows-only check; exact strings
+    are asserted against the reference's expected JSON in tests)."""
+    from sparklog import serialize
+    p = _parsed(spark, sf_dir)
+    return p.select("doc_id", serialize.json_col(p).alias("json"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_fields": q_parse_fields,
+        "msg_byte_identity": q_msg_byte_identity,
+        "sd_lookup": q_sd_lookup,
+        "enrich_names": q_enrich_names,
+        "hourly_agg": q_hourly_agg,
+        "route_counts": q_route_counts,
+        "rejects": q_rejects,
+        "routed_total": q_routed_total,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "json_serialize": q_json_serialize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_fields": f"""
+            SELECT doc_id,
+                   {R.SEVERITY} AS severity,
+                   {R.FACILITY} AS facility,
+                   {R.VERSION} AS version,
+                   {R.TS_SECS} AS timestamp,
+                   {R.TS_NANOS} AS timestamp_nanos,
+                   {R.HOSTNAME} AS hostname,
+                   {R.APPNAME} AS appname,
+                   {R.PROCID_PID} AS procid_pid,
+                   {R.PROCID_NAME} AS procid_name,
+                   {R.MSGID} AS msgid
+            FROM documents
+        """,
+        "msg_byte_identity": "SELECT doc_id, text AS msg FROM documents",
+        "sd_lookup": f"""
+            SELECT doc_id,
+                   {R.SD_META_LANG} AS meta_lang,
+                   {R.SD_META_SEQ} AS meta_seq,
+                   {R.SD_META_DUP} AS meta_dup,
+                   {R.SD_ESC_NOTE} AS esc_note,
+                   CAST({R.SD_LEN} AS INT) AS sd_len
+            FROM documents
+        """,
+        "enrich_names": f"""
+            SELECT doc_id,
+                   {R.FACILITY_NAME} AS facility_name,
+                   {R.SEVERITY_NAME} AS severity_name,
+                   CASE WHEN {R.SD_NIL} THEN NULL ELSE {R.LANG_NAME} END AS lang_name
+            FROM documents
+        """,
+        "hourly_agg": f"""
+            SELECT {R.FACILITY_NAME} AS facility_name,
+                   {R.SEVERITY_NAME} AS severity_name,
+                   {R.HOUR_EPOCH} AS hour_epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY 1, 2, 3
+        """,
+        "route_counts": f"""
+            SELECT {R.SEVERITY_NAME} AS severity_name,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "rejects": f"""
+            SELECT doc_id, {R.CORRUPT_ERROR} AS parse_error FROM documents
+        """,
+        "routed_total": f"""
+            SELECT CASE WHEN {R.CORRUPT} THEN '_rejects'
+                        ELSE {R.SEVERITY_NAME} END AS sink,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   ROUND(CAST(length(text) AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS avg_word_len,
+                   CASE WHEN length(text) >= 100
+                         AND len(string_split(text, ' ')) >= 20
+                        THEN 1 ELSE 0 END AS quality_ok
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        # lang_id / minhash / simhash / fingerprint / ann_topk /
+        # json_serialize: non-SQL-expressible (hash pipelines, float topk,
+        # serde layout) -> rows-only checks; exactness is covered by pytest.
+    }

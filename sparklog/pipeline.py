@@ -1,0 +1,117 @@
+"""Pipeline operators: enrich -> route -> aggregate (north-rule stages D4-D8).
+
+Scale posture (SURVEY.md §2D):
+  - enrich: broadcast hash joins against 24/8/9-row lookup dims — zero
+    shuffle, the build side replicates to every executor.
+  - route: ONE pass, shuffle-free fan-out via dynamic-partitioned write on
+    severity_name (8 sinks + 1 rejects sink).
+  - skew: hostname/lang are Zipf-skewed; the salted repartition spreads hot
+    keys over SALT buckets before the write; AQE skew-join handles the rest.
+  - aggregate: partial+final hash agg (automatic for count), single shuffle
+    on the 3 grouping keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparklog.schema import FACILITY_NAMES, LANG_NAMES, SEVERITY_NAMES
+
+SALT_BUCKETS = 16
+
+
+# --- lookup dims (FIXTURES.md §4; facility.rs:87-114, severity.rs:57-68) ---
+
+def facility_lookup(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(enumerate(FACILITY_NAMES)), "facility INT, facility_name STRING"
+    )
+
+
+def severity_lookup(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(enumerate(SEVERITY_NAMES)), "severity INT, severity_name STRING"
+    )
+
+
+def lang_lookup(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(LANG_NAMES.items()), "lang_code STRING, lang_name STRING"
+    )
+
+
+# --- stages -----------------------------------------------------------------
+
+def split_rejects(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Errors-as-data split (SURVEY.md §1.4): (ok, rejects)."""
+    return (
+        parsed.filter(F.col("parse_error").isNull()),
+        parsed.filter(F.col("parse_error").isNotNull()),
+    )
+
+
+def sd_value(col: str, sd_id: str, param: str) -> F.Column:
+    """Null-safe sd[sd_id][param] lookup (StructuredData::find_tuple,
+    message.rs:113-128)."""
+    return F.col(col).getItem(sd_id).getItem(param)
+
+
+def enrich(parsed: DataFrame, spark: SparkSession,
+           with_lang: bool = True) -> DataFrame:
+    """Broadcast hash joins against the enum dims; left joins keep rows with
+    null keys (parse errors / nil SD) flowing to the rejects sink."""
+    out = (
+        parsed
+        .join(F.broadcast(facility_lookup(spark)), "facility", "left")
+        .join(F.broadcast(severity_lookup(spark)), "severity", "left")
+    )
+    if with_lang:
+        out = out.withColumn("lang_code", sd_value("sd", "meta", "lang")).join(
+            F.broadcast(lang_lookup(spark)), "lang_code", "left"
+        )
+    return out
+
+
+def hour_epoch(ts_col: str = "timestamp") -> F.Column:
+    """Hour bucket as unix seconds (null timestamp -> null bucket)."""
+    c = F.col(ts_col)
+    return (c - c % 3600).alias("hour_epoch")
+
+
+def hourly_agg(enriched: DataFrame) -> DataFrame:
+    """per-facility/severity/hour counts — partial+final hash agg."""
+    return (
+        enriched.groupBy("facility_name", "severity_name", hour_epoch())
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def salted(df: DataFrame, key: str, num_partitions: int | None = None,
+           salt_col: str = "doc_id") -> DataFrame:
+    """Salted repartition for skewed keys (north rule D6): the hot 40%%
+    hostname spreads over SALT_BUCKETS partitions instead of one."""
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(SALT_BUCKETS))
+    if num_partitions:
+        return df.repartition(num_partitions, F.col(key), salt)
+    return df.repartition(F.col(key), salt)
+
+
+def route_write(enriched: DataFrame, out_dir: str) -> dict[str, int]:
+    """Fan-out to per-severity sinks in ONE write pass; rejects get their
+    own sink. Returns per-sink row counts (read back from the sinks).
+
+    Routed-row equality (BASELINE.md) is asserted by tests/test_pipeline.py
+    via anti-joins of each sink against the severity filter.
+    """
+    sink_key = F.coalesce(F.col("severity_name"), F.lit("_rejects"))
+    df = enriched.withColumn("sink", sink_key)
+    # pre-shuffle on (sink, salt): each task writes few files per sink and
+    # hot severities still spread across tasks
+    df = salted(df, "sink")
+    df.write.mode("overwrite").partitionBy("sink").parquet(out_dir)
+    spark = enriched.sparkSession
+    back = spark.read.parquet(out_dir)
+    counts = {r["sink"]: r["n"] for r in
+              back.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()}
+    return counts

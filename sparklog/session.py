@@ -1,0 +1,39 @@
+"""Tuned SparkSession factory (SURVEY.md §4 physical knobs).
+
+Scale posture: these settings are chosen for a multi-executor cluster
+reading ~100 TB (AQE on, skew-join on, Arrow batches sized for the parse
+UDF); locally we run the same config on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(app: str = "sparklog", master: str | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # timestamps: the engine works in unix seconds; anything rendered
+        # or parsed at the edge must be UTC-stable
+        .config("spark.sql.session.timeZone", "UTC")
+        # runtime re-planning: partition coalescing + skew-join splitting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # the parse UDF is Arrow-batched; 10k rows/batch keeps pandas
+        # overhead amortized without ballooning executor memory
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # map semantics must match the reference's BTreeMap last-write-wins
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARKLOG_DRIVER_MEM", "8g"))
+    )
+    return b.getOrCreate()

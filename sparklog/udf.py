@@ -1,0 +1,46 @@
+"""Spark bindings for the vectorized parser.
+
+The pandas UDF is the ONLY Python-crossing boundary of the whole pipeline
+(SURVEY.md §3): JVM -> Arrow batch -> pandas parse -> Arrow -> JVM.
+Everything upstream (synthesis) and downstream (enrich/route/aggregate)
+stays in whole-stage-codegen'd JVM expressions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparklog.parse import parse_lines
+from sparklog.schema import PARSED_COLUMNS, PARSED_SCHEMA
+
+
+@F.pandas_udf(PARSED_SCHEMA)
+def parse_syslog_udf(lines: pd.Series) -> pd.DataFrame:
+    """Vectorized RFC5424 parse: Series[str] -> DataFrame[PARSED_SCHEMA]."""
+    return parse_lines(lines)
+
+
+def parse_syslog(col) -> Column:
+    """Column expression: raw line -> parsed struct."""
+    return parse_syslog_udf(col)
+
+
+def register_sql(spark: SparkSession, name: str = "parse_syslog") -> None:
+    """Make the parser available to SQL: SELECT parse_syslog(line).* ...
+
+    Analog of the reference's dual entry points parse_message /
+    str::parse::<SyslogMessage> (parser.rs:405-407, message.rs:163-172).
+    """
+    spark.udf.register(name, parse_syslog_udf)
+
+
+def parse_df(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse a line column, keeping all other columns as passthrough.
+
+    Output: passthrough columns + the 13 PARSED_COLUMNS, flattened.
+    """
+    passthrough = [c for c in df.columns if c != line_col]
+    out = df.select(*passthrough, parse_syslog(F.col(line_col)).alias("_p"))
+    return out.select(*passthrough, *[F.col(f"_p.{c}").alias(c) for c in PARSED_COLUMNS])
