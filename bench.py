@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract + scaling study).
+
+Default: runs the headline pipeline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+The documents table is small at sf0.1 (~5k rows), so the parse-throughput
+legs replicate it deterministically (doc_id' = doc_id * R + r) to ~REPLICA
+x rows — reported explicitly as "rows"; rows_per_sec is computed from the
+replicated count. Baseline yardstick (BASELINE.md): the Rust reference
+parses ~125k avg msgs/s on one thread.
+
+Scaling study (north rule: efficiency >= 0.8 from N to 4N):
+    python bench.py --scaling
+runs the same parse+route job at local[8] and local[32] on identical input
+and reports throughput at both plus efficiency = (T8/T32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _spark(cpus: int):
+    from sparklog.session import build_spark
+
+    return build_spark(
+        app=f"sparklog-bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+
+def _replicated_lines(spark, sf_dir: str, target_rows: int, cpus: int,
+                      stage_dir: str):
+    """Deterministic replication: each replica r maps doc_id -> doc_id*R + r,
+    so every synthesized field still derives from a unique doc_id. Lines
+    are staged to parquet once so the timed legs measure parse+pipeline
+    from a columnar source (not synthesis), like a real log store."""
+    from sparklog import synth
+
+    docs = synth.load_documents(spark, sf_dir)
+    n = docs.count()
+    reps = max(1, target_rows // n)
+    if reps > 1:
+        docs = (
+            docs.crossJoin(spark.range(reps).withColumnRenamed("id", "_r"))
+            .withColumn("doc_id", F.col("doc_id") * reps + F.col("_r"))
+            .drop("_r")
+        )
+    # the crossJoin collapses to one partition — spread synthesis out
+    docs = docs.repartition(cpus * 2, "doc_id")
+    from sparklog.synth import lines_from_docs
+
+    lines_from_docs(docs.select("doc_id", "text", "lang")).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    return spark.read.parquet(stage_dir), n * reps
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
+    from sparklog import pipeline as PL
+    from sparklog.udf import parse_df
+
+    spark = _spark(cpus)
+    stage_dir = tempfile.mkdtemp(prefix="sparklog_bench_lines_")
+    try:
+        lines, n_rows = _replicated_lines(spark, sf_dir, target_rows, cpus,
+                                          stage_dir)
+
+        timings: dict[str, float] = {}
+
+        parsed = parse_df(lines)
+        timings["parse_count"] = _timed(
+            lambda: parsed.agg(
+                F.sum(F.when(F.col("parse_error").isNull(), 1).otherwise(0))
+            ).collect()
+        )
+
+        def e2e():
+            ok, _ = PL.split_rejects(parse_df(lines))
+            PL.hourly_agg(PL.enrich(ok, spark)).collect()
+
+        timings["parse_enrich_agg"] = _timed(e2e)
+
+        out_dir = tempfile.mkdtemp(prefix="sparklog_bench_route_")
+        try:
+            def route():
+                ok, _ = PL.split_rejects(parse_df(lines))
+                PL.route_write(PL.enrich(ok, spark, with_lang=False), out_dir)
+
+            timings["parse_enrich_route_write"] = _timed(route)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+        # text/similarity ops at native sf (no replication)
+        from sparklog import ann, textops
+        from sparklog.synth import load_documents
+
+        docs = load_documents(spark, sf_dir)
+        timings["minhash_neardup"] = _timed(
+            lambda: textops.minhash_neardup(docs).count()
+        )
+        timings["dedup_exact"] = _timed(lambda: textops.dedup_exact(docs).count())
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        timings["ann_topk"] = _timed(lambda: ann.brute_force_topk(emb).count())
+
+        return timings, n_rows
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        spark.stop()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        t_lo, n = run_bench(lo, sf_dir)
+        t_hi, _ = run_bench(hi, sf_dir)
+        key = "parse_enrich_route_write"
+        thr_lo = n / t_lo[key]
+        thr_hi = n / t_hi[key]
+        eff = (t_lo[key] / t_hi[key]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency_N_to_4N",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sf": sf,
+            "rows": n,
+            "throughput_rows_per_sec": {
+                f"local[{lo}]": round(thr_lo), f"local[{hi}]": round(thr_hi),
+            },
+            "wall_sec": {f"local[{lo}]": round(t_lo[key], 2),
+                         f"local[{hi}]": round(t_hi[key], 2)},
+        }))
+        return
+
+    timings, n_rows = run_bench(cpus, sf_dir)
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "pipeline_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "rows": n_rows,
+        "rows_per_sec_parse": round(n_rows / timings["parse_count"]),
+        "rows_per_sec_e2e": round(n_rows / timings["parse_enrich_agg"]),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

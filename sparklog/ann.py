@@ -72,18 +72,16 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFram
     )
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_bits, dim)).astype("float64")
 
 
-def lsh_signature(emb: DataFrame, dim: int, n_bits: int = 8,
-                  vec_col: str = "embedding") -> DataFrame:
-    """Sign-random-projection signature as an int column (JVM arithmetic:
-    the hyperplane matrix is folded into literal arrays)."""
-    planes = _hyperplanes(dim, n_bits)
+def _bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-random-projection bucket id (JVM arithmetic: the hyperplane
+    matrix folds into literal arrays — no Python in the scoring path)."""
     sig = F.lit(0)
-    for b in range(n_bits):
+    for b in range(planes.shape[0]):
         plane = F.array(*[F.lit(float(x)) for x in planes[b]])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
@@ -91,35 +89,64 @@ def lsh_signature(emb: DataFrame, dim: int, n_bits: int = 8,
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return emb.withColumn("lsh_bucket", sig.cast("int"))
+    return sig.cast("int")
+
+
+def lsh_buckets(emb: DataFrame, dim: int, n_bits: int = 4, n_tables: int = 6,
+                vec_col: str = "embedding") -> DataFrame:
+    """Multi-table LSH: one (table_id, bucket) row per table per vector.
+    More tables trade candidate volume for recall — the standard knob when
+    the corpus is high-entropy (near-random embeddings bucket poorly in a
+    single table)."""
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("table_id"),
+            _bucket_col(vec_col, _hyperplanes(dim, n_bits, seed=7 + t)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ])
+    return emb.select("*", F.explode(tables).alias("_t")).select(
+        *emb.columns, "_t.table_id", "_t.bucket"
+    )
 
 
 def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
-             n_bits: int = 8) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's own LSH bucket
-    (single equi-join on bucket id — scale path for huge corpora)."""
+             n_bits: int = 4, n_tables: int = 6) -> DataFrame:
+    """Approximate top-k: candidates limited to vectors sharing any LSH
+    bucket with the query (equi-join on (table_id, bucket) — the scale
+    path: the join touches ~n_tables * corpus / 2^n_bits rows per query
+    instead of the whole corpus)."""
     dim = len(emb.select("embedding").first()[0])
-    sigs = lsh_signature(emb, dim, n_bits)
+    sigs = lsh_buckets(emb, dim, n_bits, n_tables)
     corpus = sigs.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("_ce"),
         _norm("embedding").alias("_cn"),
-        "lsh_bucket",
+        "table_id", "bucket",
     )
     queries = (
-        sigs.orderBy("vec_id").limit(n_queries)
+        sigs.join(
+            F.broadcast(
+                emb.orderBy("vec_id").limit(n_queries).select("vec_id")
+            ),
+            "vec_id",
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("_qe"),
             _norm("embedding").alias("_qn"),
-            F.col("lsh_bucket").alias("_qb"),
+            F.col("table_id").alias("_qt"),
+            F.col("bucket").alias("_qb"),
         )
     )
     joined = corpus.join(
         F.broadcast(queries),
-        (F.col("lsh_bucket") == F.col("_qb"))
+        (F.col("table_id") == F.col("_qt"))
+        & (F.col("bucket") == F.col("_qb"))
         & (F.col("neighbor_id") != F.col("query_id")),
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     sim = (_dot("_qe", "_ce") / (F.col("_qn") * F.col("_cn"))).alias("cos_sim")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

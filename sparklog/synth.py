@@ -104,7 +104,11 @@ def _sd_str() -> F.Column:
 
 def lines_df(spark: SparkSession, sf_dir: str, corrupt: bool = False) -> DataFrame:
     """One deterministic syslog line per document: (doc_id, line)."""
-    pages = pages_df(spark, sf_dir)
+    return lines_from_docs(pages_df(spark, sf_dir), corrupt=corrupt)
+
+
+def lines_from_docs(pages: DataFrame, corrupt: bool = False) -> DataFrame:
+    """Line synthesis over any frame with (doc_id, text, lang)."""
     pri = F.expr(R.PRI).cast("string")
     header = F.concat(
         F.lit("<"), pri, F.lit(">1 "),

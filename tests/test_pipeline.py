@@ -1,0 +1,111 @@
+"""Pipeline contract tests: routing equality, conservation, byte identity,
+plan-shape audits (broadcast join, column pruning, pushdown)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklog import pipeline as PL
+from sparklog import synth
+from sparklog.udf import parse_df
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    return parse_df(synth.lines_df(spark, SF_SMOKE)).cache()
+
+
+def test_all_rows_parse_clean(parsed):
+    assert parsed.filter(F.col("parse_error").isNotNull()).count() == 0
+
+
+def test_msg_byte_identity(spark, parsed):
+    """North-rule invariant: msg == documents.text for every doc."""
+    docs = synth.load_documents(spark, SF_SMOKE).select("doc_id", "text")
+    diff = parsed.join(docs, "doc_id").filter(F.col("msg") != F.col("text"))
+    assert diff.count() == 0
+
+
+def test_route_write_and_equality(spark, parsed, tmp_path):
+    """Per-sink counts sum to input; each sink holds exactly the rows of
+    its severity (routed-row equality via anti-joins both ways)."""
+    enriched = PL.enrich(parsed, spark, with_lang=False)
+    out = str(tmp_path / "sinks")
+    counts = PL.route_write(enriched, out)
+    assert sum(counts.values()) == parsed.count()
+    back = spark.read.parquet(out)
+    for sev_name in counts:
+        sink_rows = back.filter(F.col("sink") == sev_name).select("doc_id")
+        want = enriched.filter(
+            F.coalesce(F.col("severity_name"), F.lit("_rejects")) == sev_name
+        ).select("doc_id")
+        assert sink_rows.exceptAll(want).count() == 0
+        assert want.exceptAll(sink_rows).count() == 0
+
+
+def test_hourly_agg_conservation(spark, parsed):
+    agg = PL.hourly_agg(PL.enrich(parsed, spark))
+    total = agg.agg(F.sum("n")).collect()[0][0]
+    assert total == parsed.count()
+
+
+def test_enrich_uses_broadcast_join(spark, parsed):
+    plan = PL.enrich(parsed, spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_html_never_read(spark):
+    """The pipeline must not drag pages.html through the scan (SURVEY §4)."""
+    import os
+
+    pages_dir = "/tmp/sparklog_pages_prune_test"
+    synth.pages_df(spark, SF_SMOKE).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    lines = synth.lines_from_docs(
+        pages.select(
+            F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+            "text",
+            "lang",
+        )
+    )
+    plan = lines._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in plan, "html column must be pruned from the scan"
+
+
+def test_filter_pushdown_to_scan(spark):
+    """A severity filter on parsed output cannot push through the UDF, but
+    a doc_id filter on the source must reach the parquet scan."""
+    import os
+
+    docs_dir = "/tmp/sparklog_pushdown_test"
+    synth.load_documents(spark, SF_SMOKE).write.mode("overwrite").parquet(docs_dir)
+    docs = spark.read.parquet(docs_dir).filter(F.col("doc_id") < 100)
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or (
+        "LessThan(doc_id,100)" in plan
+    )
+
+
+def test_salted_repartition_spreads_hot_key(spark, parsed):
+    """The Zipf-head hostname must not land in a single partition."""
+    enriched = PL.enrich(parsed, spark, with_lang=False)
+    hot = enriched.filter(F.col("hostname") == "web-fe-01.example.com")
+    n_parts = (
+        PL.salted(hot, "hostname", num_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert n_parts > 4, f"hot hostname occupies only {n_parts} partitions"
+
+
+def test_sd_lang_matches_documents(spark, parsed):
+    docs = synth.load_documents(spark, SF_SMOKE).select("doc_id", "lang")
+    got = parsed.withColumn("sd_lang", PL.sd_value("sd", "meta", "lang"))
+    joined = got.join(docs, "doc_id").filter(
+        F.col("sd_lang").isNotNull() & (F.col("sd_lang") != F.col("lang"))
+    )
+    assert joined.count() == 0

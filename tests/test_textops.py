@@ -1,0 +1,111 @@
+"""Text-analysis / dedup / similarity operators with controlled fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklog import ann as ANN
+from sparklog import textops as TX
+
+from conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),         # near dup of 0
+        (3, "completely different content about spark shuffles and joins"),
+        (4, "der hund und die katze sind nicht ein gutes paar im haus"),
+        (5, ""),                                     # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_token_count(toy_docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in TX.token_count(toy_docs).collect()}
+    assert got[0] == 14
+    assert got[5] == 1  # split('') -> [''] (matches DuckDB string_split)
+
+
+def test_dedup_exact_finds_only_exact(toy_docs):
+    rows = TX.dedup_exact(toy_docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dups"] == 2 and rows[0]["keep_doc_id"] == 0
+
+
+def test_minhash_finds_near_dup(toy_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in TX.minhash_neardup(toy_docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any({a, b} & {3, 4} for a, b in pairs)
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"token{i} word{i % 7} item{i % 5}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                                # exact dup: hamming 0
+            (2, base.replace("token7", "tokenX")),    # one-token sub: hamming 1
+            (3, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in TX.simhash_neardup(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_lang_id_markers(toy_docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in TX.lang_id(toy_docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+    assert got[5] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "hello worlds")],
+        "doc_id LONG, text STRING",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in TX.fingerprint(docs).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_ann_brute_force_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]), (4, [0.7, 0.7]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = ANN.brute_force_topk(emb, n_queries=1, k=2).collect()
+    assert [r["neighbor_id"] for r in rows] == [1, 4]
+    assert rows[0]["cos_sim"] > 0.99
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ANN.brute_force_topk(emb, n_queries=4, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ANN.lsh_topk(emb, n_queries=4, k=5,
+                                    n_bits=4, n_tables=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_minhash_lsh_one_shuffle_shape(spark, toy_docs):
+    """Plan audit: candidate generation must be an equi-join on band keys
+    (shuffled hash join / SMJ on band_key), never a cartesian product."""
+    plan = TX.minhash_neardup(toy_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
