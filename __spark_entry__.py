@@ -137,9 +137,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(synth.load_documents(spark, sf_dir))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.ngram_jaccard(synth.load_documents(spark, sf_dir))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ANN.brute_force_topk(emb, n_queries=8, k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ANN.embedding_neardup(emb, threshold=0.9)
 
 
 def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
         "json_serialize": q_json_serialize,
     }
 
@@ -250,7 +261,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) >= 5
+                       THEN list_transform(range(0, length(text) - 4),
+                                           i -> substr(text, i + 1, 5))
+                       ELSE [] END) AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))),
+                         4) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
         # lang_id / minhash / simhash / fingerprint / ann_topk /
-        # json_serialize: non-SQL-expressible (hash pipelines, float topk,
-        # serde layout) -> rows-only checks; exactness is covered by pytest.
+        # embedding_neardup / json_serialize: non-SQL-expressible (hash
+        # pipelines, float topk, serde layout) -> rows-only checks;
+        # exactness is covered by pytest.
     }

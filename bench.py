@@ -82,6 +82,9 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
 
         timings: dict[str, float] = {}
 
+        # warm-up: spawn python workers / JIT / page-cache the staged files
+        parse_df(lines.limit(20000)).agg(F.count("parse_error")).collect()
+
         parsed = parse_df(lines)
         timings["parse_count"] = _timed(
             lambda: parsed.agg(

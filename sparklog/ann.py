@@ -112,6 +112,34 @@ def lsh_buckets(emb: DataFrame, dim: int, n_bits: int = 4, n_tables: int = 6,
     )
 
 
+def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
+                      n_bits: int = 4, n_tables: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from shared LSH
+    buckets (equi-join, no crossJoin), verified by exact cosine ≥ threshold."""
+    dim = len(emb.select("embedding").first()[0])
+    sigs = lsh_buckets(emb, dim, n_bits, n_tables)
+    l = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"),
+        _norm("embedding").alias("_na"), "table_id", "bucket",
+    )
+    r = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"),
+        _norm("embedding").alias("_nb"),
+        F.col("table_id").alias("_t2"), F.col("bucket").alias("_b2"),
+    )
+    pairs = l.join(
+        r,
+        (F.col("table_id") == F.col("_t2")) & (F.col("bucket") == F.col("_b2"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).dropDuplicates(["vec_a", "vec_b"])
+    sim = _dot("_ea", "_eb") / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
              n_bits: int = 4, n_tables: int = 6) -> DataFrame:
     """Approximate top-k: candidates limited to vectors sharing any LSH

@@ -65,11 +65,13 @@ def pending_chunks(checkpoint_dir: str, n_chunks: int) -> list[int]:
 
 
 def content_fingerprint(df: DataFrame) -> int:
-    """Order-independent content hash of a chunk's parsed output: XOR-free
-    sum of per-row xxhash64 over the stable identity columns."""
+    """Order-independent content hash of a chunk's parsed output: sum of
+    per-row xxhash64 folded to 31 bits (keeps the ANSI-mode long sum safe
+    for up to 2^32 rows per chunk)."""
+    row_hash = F.xxhash64(
+        F.col("doc_id"), F.coalesce(F.col("parse_error"), F.lit(""))
+    )
     r = df.select(
-        F.sum(
-            F.xxhash64(F.col("doc_id"), F.coalesce(F.col("parse_error"), F.lit("")))
-        ).alias("fp")
+        F.sum(F.pmod(row_hash, F.lit(2147483647))).alias("fp")
     ).collect()[0]
     return int(r["fp"] or 0)

@@ -109,19 +109,34 @@ def _shingles(text_col: str = "text", k: int = 5) -> F.Column:
     )
 
 
+# multiply-shift permutation constants (odd multipliers, fixed seeds):
+# shingles are string-hashed ONCE (xxhash64), then each "permutation" is a
+# cheap integer mix — 1 string hash + 32 int ops per shingle instead of 32
+# string hashes (the classic a*h+b universal-hash family).
+_MH_A = [0x9E3779B97F4A7C15 + 2 * j + 1 for j in range(MINHASH_PERMS)]
+_MH_B = [0xC2B2AE3D27D4EB4F ^ (j * 0x165667B19E3779F9) for j in range(MINHASH_PERMS)]
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + minhash signature (array of MINHASH_PERMS longs), all JVM:
-    per permutation j, sig[j] = min over shingles of xxhash64(shingle, j)."""
+    sig[j] = min over shingles of mix_j(xxhash64(shingle))."""
     sh = docs.select("doc_id", _shingles(text_col).alias("_sh")).filter(
         F.size("_sh") > 0
     )
+    hashed = sh.withColumn("_h", F.expr("transform(_sh, s -> xxhash64(s))"))
     sig = F.array(
         *[
-            F.array_min(F.expr(f"transform(_sh, s -> xxhash64(s, {j}))"))
+            F.array_min(
+                F.expr(
+                    f"transform(_h, h -> (h * {_MH_A[j] & _MASK63}L"
+                    f" + {_MH_B[j] & _MASK63}L) & {_MASK63}L)"
+                )
+            )
             for j in range(MINHASH_PERMS)
         ]
     )
-    return sh.select("doc_id", sig.alias("sig"), "_sh")
+    return hashed.select("doc_id", sig.alias("sig"), "_sh")
 
 
 def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
@@ -180,6 +195,22 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Exact k-gram Jaccard for consecutive-doc_id pairs (the deterministic
+    verification kernel the LSH pipelines reuse; standalone here so the
+    oracle can check it end-to-end with DuckDB list functions)."""
+    sh = docs.select("doc_id", _shingles("text", k).alias("_s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.size(F.array_intersect("a._s", "b._s")).cast("double")
+    union = F.size(F.array_union("a._s", "b._s")).cast("double")
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 4).alias("jaccard"),
     )
 
 

@@ -40,7 +40,25 @@ def parse_df(df: DataFrame, line_col: str = "line") -> DataFrame:
     """Parse a line column, keeping all other columns as passthrough.
 
     Output: passthrough columns + the 13 PARSED_COLUMNS, flattened.
+
+    Uses mapInPandas rather than a struct-returning pandas UDF: Catalyst
+    pushes downstream filters (e.g. the reject split) through a Project of
+    UDF struct fields and re-evaluates the UDF per reference — every row
+    would be PARSED TWICE. mapInPandas is a pushdown barrier, so the parse
+    runs exactly once per row (plan-audited in tests: one ArrowEvalPython /
+    MapInPandas node even with filters on parse_error downstream).
     """
+    from pyspark.sql import types as T
+
     passthrough = [c for c in df.columns if c != line_col]
-    out = df.select(*passthrough, parse_syslog(F.col(line_col)).alias("_p"))
-    return out.select(*passthrough, *[F.col(f"_p.{c}").alias(c) for c in PARSED_COLUMNS])
+    schema = T.StructType(
+        [df.schema[c] for c in passthrough] + list(PARSED_SCHEMA.fields)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            parsed = parse_lines(pdf[line_col])
+            base = pdf[passthrough].reset_index(drop=True)
+            yield pd.concat([base, parsed], axis=1)
+
+    return df.mapInPandas(run, schema)

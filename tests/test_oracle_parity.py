@@ -74,7 +74,8 @@ def test_query_matches_oracle(spark, name):
 def test_all_queries_return_rows(spark):
     """Every registered query (incl. rows-only ones) runs and has a stable
     schema; discovery-type queries (near-dup mining) may match 0 rows."""
-    may_be_empty = {"minhash_neardup", "simhash", "dedup_exact"}
+    may_be_empty = {"minhash_neardup", "simhash", "dedup_exact",
+                    "embedding_neardup"}
     for name, q in E.queries().items():
         df = q(spark, SF_CORRECT)
         n = df.count()

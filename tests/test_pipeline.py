@@ -52,6 +52,37 @@ def test_hourly_agg_conservation(spark, parsed):
     assert total == parsed.count()
 
 
+def test_parse_runs_exactly_once_in_plan(spark, parsed):
+    """Regression: a filter on parse_error must NOT re-evaluate the parse
+    (struct-UDF + Project used to duplicate it; mapInPandas is a barrier)."""
+    agg = PL.hourly_agg(
+        PL.enrich(parsed.filter(F.col("parse_error").isNull()), spark)
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    n_parse = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+    # `parsed` is cached in this fixture, so the plan may show the cache
+    # scan instead; build an uncached variant to be sure
+    fresh = parse_df(synth.lines_df(spark, SF_SMOKE))
+    agg2 = PL.hourly_agg(
+        PL.enrich(fresh.filter(F.col("parse_error").isNull()), spark)
+    )
+    plan2 = agg2._jdf.queryExecution().executedPlan().toString()
+    n2 = plan2.count("MapInPandas") + plan2.count("ArrowEvalPython")
+    assert n2 == 1, f"parse evaluated {n2} times in plan"
+    assert n_parse <= 1
+
+
+def test_single_shuffle_for_hourly_agg(spark):
+    import re
+
+    fresh = parse_df(synth.lines_df(spark, SF_SMOKE))
+    agg = PL.hourly_agg(PL.enrich(fresh, spark))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, f"expected 1 shuffle, plan has {shuffles}"
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
 def test_enrich_uses_broadcast_join(spark, parsed):
     plan = PL.enrich(parsed, spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
