@@ -54,6 +54,19 @@ def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_pages_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize pages partitioned by days(warc_ts) — the Iceberg-style
+    layout the north rule's partition-pruning check assumes. Readers that
+    filter on warc_day scan only the matching day directories."""
+    (
+        pages_df(spark, sf_dir)
+        .withColumn("warc_day", F.to_date("warc_ts"))
+        .write.mode("overwrite")
+        .partitionBy("warc_day")
+        .parquet(out_dir)
+    )
+
+
 def _ts_str() -> F.Column:
     warc = F.expr(R.WARC_SECS)
     base = F.from_unixtime(warc, _TS_FMT)

@@ -109,28 +109,32 @@ def _shingles(text_col: str = "text", k: int = 5) -> F.Column:
     )
 
 
-# multiply-shift permutation constants (odd multipliers, fixed seeds):
-# shingles are string-hashed ONCE (xxhash64), then each "permutation" is a
-# cheap integer mix — 1 string hash + 32 int ops per shingle instead of 32
-# string hashes (the classic a*h+b universal-hash family).
-_MH_A = [0x9E3779B97F4A7C15 + 2 * j + 1 for j in range(MINHASH_PERMS)]
-_MH_B = [0xC2B2AE3D27D4EB4F ^ (j * 0x165667B19E3779F9) for j in range(MINHASH_PERMS)]
-_MASK63 = 0x7FFFFFFFFFFFFFFF
+# Universal-hash permutations over the 31-bit Mersenne prime: shingles are
+# string-hashed ONCE (xxhash64), then each "permutation" is (a*x + b) mod p
+# with x, a, b < 2^31 so the product stays < 2^62 — no ANSI-mode long
+# overflow. 1 string hash + 32 int mixes per shingle instead of 32 string
+# hashes.
+_MH_P = 2147483647  # 2^31 - 1
+_MH_A = [(0x9E3779B9 * (j + 1) + 0x7F4A7C15) % (_MH_P - 1) + 1
+         for j in range(MINHASH_PERMS)]
+_MH_B = [(0xC2B2AE3D ^ (j * 0x165667B1)) % _MH_P for j in range(MINHASH_PERMS)]
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + minhash signature (array of MINHASH_PERMS longs), all JVM:
-    sig[j] = min over shingles of mix_j(xxhash64(shingle))."""
+    sig[j] = min over shingles of ((a_j * x + b_j) mod p), x = h mod p."""
     sh = docs.select("doc_id", _shingles(text_col).alias("_sh")).filter(
         F.size("_sh") > 0
     )
-    hashed = sh.withColumn("_h", F.expr("transform(_sh, s -> xxhash64(s))"))
+    hashed = sh.withColumn(
+        "_h", F.expr(f"transform(_sh, s -> pmod(xxhash64(s), {_MH_P}L))")
+    )
     sig = F.array(
         *[
             F.array_min(
                 F.expr(
-                    f"transform(_h, h -> (h * {_MH_A[j] & _MASK63}L"
-                    f" + {_MH_B[j] & _MASK63}L) & {_MASK63}L)"
+                    f"transform(_h, x -> pmod(x * {_MH_A[j]}L + {_MH_B[j]}L,"
+                    f" {_MH_P}L))"
                 )
             )
             for j in range(MINHASH_PERMS)

@@ -107,6 +107,24 @@ def test_column_pruning_html_never_read(spark):
     assert "html" not in plan, "html column must be pruned from the scan"
 
 
+def test_partition_pruning_on_warc_day(spark, tmp_path):
+    """Explicit partition pruning (north rule): a warc_day filter must
+    reach the scan as a PartitionFilter and cut the files read."""
+    out = str(tmp_path / "pages_days")
+    synth.write_pages_partitioned(spark, SF_SMOKE, out)
+    pages = spark.read.parquet(out)
+    one_day = pages.filter(F.col("warc_day") == "2016-01-12")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(warc_day" in plan
+    n_days = pages.select("warc_day").distinct().count()
+    assert n_days >= 7  # 7-day synth window
+    assert one_day.count() > 0
+    # pruned scan reads strictly fewer files than the full scan
+    assert one_day.inputFiles() and len(one_day.inputFiles()) < len(
+        pages.inputFiles()
+    )
+
+
 def test_filter_pushdown_to_scan(spark):
     """A severity filter on parsed output cannot push through the UDF, but
     a doc_id filter on the source must reach the parquet scan."""
