@@ -126,19 +126,41 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
         spark.stop()
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+def run_scaling(sf_dir: str, sf: str, lo: int = 8, hi: int = 32,
+                target_rows: int = 12_000_000) -> None:
+    """Two-parallelism scaling study (north rule D11): the same CPU-bound
+    parse->enrich->aggregate job at local[lo] and local[hi] over identical
+    pre-staged input; efficiency = (T_lo / T_hi) / (hi / lo).
 
-    if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        t_lo, n = run_bench(lo, sf_dir)
-        t_hi, _ = run_bench(hi, sf_dir)
-        key = "parse_enrich_route_write"
-        thr_lo = n / t_lo[key]
-        thr_hi = n / t_hi[key]
-        eff = (t_lo[key] / t_hi[key]) / (hi / lo)
+    The input is large enough (~12M lines) to amortize per-session fixed
+    costs (python-worker spawn, broadcast build, codegen) that would
+    otherwise dominate and mis-measure parallel efficiency. Each leg warms
+    up once and reports the best of 2 timed runs.
+    """
+    from sparklog import pipeline as PL
+    from sparklog.udf import parse_df
+
+    stage_dir = tempfile.mkdtemp(prefix="sparklog_scaling_lines_")
+    try:
+        spark = _spark(hi)
+        _, n = _replicated_lines(spark, sf_dir, target_rows, hi, stage_dir)
+        spark.stop()
+
+        walls = {}
+        for cpus in (lo, hi):
+            spark = _spark(cpus)
+            lines = spark.read.parquet(stage_dir)
+
+            def e2e():
+                ok, _ = PL.split_rejects(parse_df(lines))
+                PL.hourly_agg(PL.enrich(ok, spark)).collect()
+
+            parse_df(lines.limit(20000)).agg(F.count("parse_error")).collect()
+            e2e()  # warm: worker spawn + broadcast + codegen
+            walls[cpus] = min(_timed(e2e), _timed(e2e))
+            spark.stop()
+
+        eff = (walls[lo] / walls[hi]) / (hi / lo)
         print(json.dumps({
             "metric": "scaling_efficiency_N_to_4N",
             "value": round(eff, 3),
@@ -146,11 +168,23 @@ def main():
             "sf": sf,
             "rows": n,
             "throughput_rows_per_sec": {
-                f"local[{lo}]": round(thr_lo), f"local[{hi}]": round(thr_hi),
+                f"local[{lo}]": round(n / walls[lo]),
+                f"local[{hi}]": round(n / walls[hi]),
             },
-            "wall_sec": {f"local[{lo}]": round(t_lo[key], 2),
-                         f"local[{hi}]": round(t_hi[key], 2)},
+            "wall_sec": {f"local[{lo}]": round(walls[lo], 2),
+                         f"local[{hi}]": round(walls[hi], 2)},
         }))
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir, sf)
         return
 
     timings, n_rows = run_bench(cpus, sf_dir)

@@ -74,7 +74,9 @@ _HEADER_RE = re.compile(
     r"([!-~]{1,128}) "
     r"([!-~]{1,32}) "
     r"(.*)\Z",
-    re.DOTALL,
+    # ASCII: \d must mean [0-9] exactly — Python's unicode \d would accept
+    # digits the reference's is_ascii_digit scan rejects
+    re.DOTALL | re.ASCII,
 )
 
 # One well-formed SD-ELEMENT at the match position: [sd_id( name="value")*]
@@ -85,7 +87,9 @@ _SDE_RE = re.compile(
 _PARAM_RE = re.compile(r" ([^ =\]]+)=\"((?:[^\"\\]|\\.)*)\"", re.DOTALL)
 _UNESCAPE_RE = re.compile(r"\\(.)", re.DOTALL)
 
-_PROCID_INT_RE = re.compile(r"[+-]?\d+\Z")
+# ASCII-only digits: Python's \d matches unicode digits, Rust's
+# i32::from_str does not — [0-9] keeps the PID/Name split identical.
+_PROCID_INT_RE = re.compile(r"[+-]?[0-9]+\Z")
 
 
 def _days_from_civil(y, m, d):
@@ -470,7 +474,7 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
     msgid = _nil(ext[13])
 
     # --- procid: exact i32 => PID else Name (parser.rs:357-360)
-    pid_like = procid.fillna("").str.fullmatch(r"[+-]?\d+")
+    pid_like = procid.fillna("").str.fullmatch(r"[+-]?[0-9]+")
     pid_num = pd.to_numeric(procid.where(pid_like), errors="coerce")
     in_range = pid_num.ge(I32_MIN) & pid_num.le(I32_MAX)
     procid_pid = pid_num.where(in_range)

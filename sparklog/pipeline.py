@@ -73,6 +73,13 @@ def enrich(parsed: DataFrame, spark: SparkSession,
     return out
 
 
+def with_event_ts(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """Derive event_ts TIMESTAMP (µs) alongside the exact unix-seconds +
+    nanos columns (SURVEY.md §1.1: Spark TIMESTAMP cannot hold the nanos,
+    so the BIGINT/INT pair stays authoritative)."""
+    return df.withColumn("event_ts", F.timestamp_seconds(F.col(ts_col)))
+
+
 def hour_epoch(ts_col: str = "timestamp") -> F.Column:
     """Hour bucket as unix seconds (null timestamp -> null bucket)."""
     c = F.col(ts_col)
@@ -89,7 +96,7 @@ def hourly_agg(enriched: DataFrame) -> DataFrame:
 
 def salted(df: DataFrame, key: str, num_partitions: int | None = None,
            salt_col: str = "doc_id") -> DataFrame:
-    """Salted repartition for skewed keys (north rule D6): the hot 40%%
+    """Salted repartition for skewed keys (north rule D6): the hot 40%
     hostname spreads over SALT_BUCKETS partitions instead of one."""
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(SALT_BUCKETS))
     if num_partitions:

@@ -234,6 +234,22 @@ GOLDEN = [
     # empty SD-ID is legal: '[]'
     ("sd_empty_id", "<1>1 - - - - - [] m", {"sd": {"": {}}, "msg": "m"}),
     ("truncated_after_msgid", "<1>1 - - - - -", "ERROR:UnexpectedEndOfInput"),
+    # MSG takes the raw remainder — embedded newlines/tabs preserved
+    ("msg_with_newline", "<1>1 - - - - - - line1\nline2\ttab", {
+        "msg": "line1\nline2\ttab",
+    }),
+    # term at exactly max length is fine; one over breaks the next take_char
+    ("hostname_255", "<1>1 - " + "h" * 255 + " - - - - m", {
+        "hostname": "h" * 255,
+    }),
+    ("hostname_256", "<1>1 - " + "h" * 256 + " - - - - m",
+     "ERROR:ExpectedTokenErr: "),
+    # PRI boundary: 191 = facility 23 (max valid); 192 = facility 24 (error)
+    ("pri_max_valid", "<191>1 - - - - - -", {"facility": 23, "severity": 7}),
+    ("pri_min_invalid_fac", "<192>1 - - - - - -", "ERROR:BadFacilityInPri"),
+    # a term containing a non-ASCII char ends at the first non-printable
+    # byte; the following take_char(' ') then fails
+    ("hostname_nonascii", "<1>1 - hôst - - - - m", "ERROR:ExpectedTokenErr: "),
     ("truncated_mid_pri", "<1", "ERROR:UnexpectedEndOfInput"),
     ("empty_line", "", "ERROR:UnexpectedEndOfInput"),
     ("not_syslog", "hello world", "ERROR:ExpectedTokenErr:<"),
