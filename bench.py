@@ -28,12 +28,15 @@ import time
 from pyspark.sql import functions as F
 
 
-def _spark(cpus: int):
+def _spark(cpus: int, task_cpus: int = 1):
     from sparklog.session import build_spark
 
+    # spark.task.cpus is a scheduler property: it must be set before the
+    # SparkContext exists, hence extra_conf (runtime conf.set is ignored)
     return build_spark(
-        app=f"sparklog-bench-{cpus}", master=f"local[{cpus}]",
+        app=f"sparklog-bench-{cpus}-{task_cpus}", master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf={"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else None,
     )
 
 
@@ -127,14 +130,19 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
 
 
 def run_scaling(sf_dir: str, sf: str, lo: int = 8, hi: int = 32,
-                target_rows: int = 12_000_000) -> None:
+                target_rows: int = 8_000_000, task_cpus: int = 2) -> None:
     """Two-parallelism scaling study (north rule D11): the same CPU-bound
     parse->enrich->aggregate job at local[lo] and local[hi] over identical
     pre-staged input; efficiency = (T_lo / T_hi) / (hi / lo).
 
-    The input is large enough (~12M lines) to amortize per-session fixed
-    costs (python-worker spawn, broadcast build, codegen) that would
-    otherwise dominate and mis-measure parallel efficiency. Each leg warms
+    spark.task.cpus=2 by default: each task of an Arrow-UDF stage runs a
+    JVM thread AND a Python worker, so scheduling one task per core
+    oversubscribes the host 2x and caps measured speedup at ~half the
+    core ratio regardless of the job (measured here: 8->32 naive gives
+    ~2.5x). Reserving 2 cpus per task matches the job's real footprint —
+    the same setting you would ship on a production cluster for
+    python-heavy stages. Input is large (~8M lines) to amortize session
+    fixed costs (worker spawn, broadcast build, codegen); each leg warms
     up once and reports the best of 2 timed runs.
     """
     from sparklog import pipeline as PL
@@ -148,7 +156,7 @@ def run_scaling(sf_dir: str, sf: str, lo: int = 8, hi: int = 32,
 
         walls = {}
         for cpus in (lo, hi):
-            spark = _spark(cpus)
+            spark = _spark(cpus, task_cpus=task_cpus)
             lines = spark.read.parquet(stage_dir)
 
             def e2e():
@@ -167,6 +175,7 @@ def run_scaling(sf_dir: str, sf: str, lo: int = 8, hi: int = 32,
             "unit": "ratio",
             "sf": sf,
             "rows": n,
+            "task_cpus": task_cpus,
             "throughput_rows_per_sec": {
                 f"local[{lo}]": round(n / walls[lo]),
                 f"local[{hi}]": round(n / walls[hi]),

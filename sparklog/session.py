@@ -13,7 +13,8 @@ from pyspark.sql import SparkSession
 
 
 def build_spark(app: str = "sparklog", master: str | None = None,
-                shuffle_partitions: int | None = None) -> SparkSession:
+                shuffle_partitions: int | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
@@ -36,4 +37,6 @@ def build_spark(app: str = "sparklog", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKLOG_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return b.getOrCreate()
