@@ -59,7 +59,8 @@ def test_multimodal_meta_shapes(spark):
             synth.load_documents(spark, SF_SMOKE).collect()}
     for i, row in r.items():
         assert row["magic"] == "<html>"
-        assert row["byte_len"] == len(docs[i]["text"].encode()) + 25
+        # wrapper adds len("<html><body>") + len("</body></html>") == 26
+        assert row["byte_len"] == len(docs[i]["text"].encode()) + 26
         assert 0 <= row["fake_width"] < 1920
         assert 0 <= row["fake_height"] < 1080
 
