@@ -159,6 +159,31 @@ def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("doc_id", serialize.json_col(p).alias("json"))
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB mirror of textops.lang_id: same marker lists, same
+    set-intersection scoring (both engines dedup), same tie-break order."""
+    from sparklog.textops import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    score_cols = []
+    for lg, markers in _LANG_MARKERS.items():
+        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(f"len(list_intersect(ws, {lit})) AS s_{lg}")
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    arms = " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        ), s AS (
+          SELECT doc_id, {', '.join(score_cols)} FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN {best} = 0 THEN 'und' {arms} END AS pred_lang,
+               CAST({best} AS INT) AS score
+        FROM s
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_fields": q_parse_fields,
@@ -261,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         """,
+        "lang_id": _lang_id_oracle(),
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
