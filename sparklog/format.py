@@ -16,7 +16,7 @@ Formatting rules are the grammar read backwards (parser.rs:343-384):
 
 from __future__ import annotations
 
-from sparklog.parse import _days_from_civil
+
 
 _DAYS_PER_400 = 146097
 

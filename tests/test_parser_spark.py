@@ -9,7 +9,7 @@ from sparklog import schema as S
 from sparklog.udf import parse_df, register_sql
 
 from golden_corpus import GOLDEN
-from test_parser_pandas import _check, _norm
+from test_parser_pandas import _check
 
 
 @pytest.fixture(scope="module")
