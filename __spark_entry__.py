@@ -10,7 +10,12 @@ end-to-end roundtrip check: if the parser mangles any field, hashes diverge.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make `sparklog` importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,7 +28,34 @@ from sparklog import ann as ANN
 from sparklog.udf import parse_df
 
 
+_SHIPPED: set[str] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the sparklog package to executor python workers.
+
+    If the driver process was started outside /root/repo, workers cannot
+    unpickle UDF closures that reference the module; addPyFile fixes that
+    regardless of cwd (and is a no-op burden when cwd is the repo).
+    """
+    key = id(spark.sparkContext)
+    if str(key) in _SHIPPED:
+        return
+    try:
+        import tempfile
+
+        from jobs.package import build
+
+        spark.sparkContext.addPyFile(
+            build(tempfile.mkdtemp(prefix="sparklog_pyfiles_"))
+        )
+    except Exception:
+        pass  # already importable from cwd / already added
+    _SHIPPED.add(str(key))
+
+
 def _parsed(spark: SparkSession, sf_dir: str, corrupt: bool = False) -> DataFrame:
+    _ensure_shipped(spark)
     return parse_df(synth.lines_df(spark, sf_dir, corrupt=corrupt))
 
 
@@ -184,8 +216,19 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "parse_fields": q_parse_fields,
         "msg_byte_identity": q_msg_byte_identity,
         "sd_lookup": q_sd_lookup,
