@@ -141,6 +141,36 @@ def q_routed_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit over parsed output: top-10 hostnames by row count
+    (ties broken by hostname; nil hostnames excluded)."""
+    p = _parsed(spark, sf_dir)
+    return (
+        p.filter(F.col("hostname").isNotNull())
+        .groupBy("hostname").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("hostname"))
+        .limit(10)
+    )
+
+
+def q_facility_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function over the enriched output: per-severity top-3
+    facilities by count (rank by n desc, facility_name)."""
+    from pyspark.sql import Window
+
+    ok, _ = PL.split_rejects(_parsed(spark, sf_dir))
+    counts = PL.enrich(ok, spark, with_lang=False).groupBy(
+        "severity_name", "facility_name"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("severity_name").orderBy(
+        F.col("n").desc(), F.col("facility_name")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(synth.load_documents(spark, sf_dir))
 
@@ -237,6 +267,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "route_counts": q_route_counts,
         "rejects": q_rejects,
         "routed_total": q_routed_total,
+        "top_hosts": q_top_hosts,
+        "facility_rank": q_facility_rank,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
@@ -305,6 +337,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {R.SEVERITY_NAME} END AS sink,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM documents GROUP BY 1
+        """,
+        "top_hosts": f"""
+            SELECT hostname, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT {R.HOSTNAME} AS hostname FROM documents)
+            WHERE hostname IS NOT NULL
+            GROUP BY 1
+            ORDER BY n DESC, hostname
+            LIMIT 10
+        """,
+        "facility_rank": f"""
+            WITH c AS (
+              SELECT {R.SEVERITY_NAME} AS severity_name,
+                     {R.FACILITY_NAME} AS facility_name,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT severity_name, facility_name, n,
+                   CAST(row_number() OVER (
+                     PARTITION BY severity_name
+                     ORDER BY n DESC, facility_name) AS INT) AS rnk
+            FROM c
+            QUALIFY rnk <= 3
         """,
         "token_count": """
             SELECT doc_id,
