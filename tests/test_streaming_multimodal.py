@@ -49,7 +49,56 @@ def test_streaming_windowed_counts_schema(spark):
     assert total > 0
 
 
-def test_multimodal_meta_shapes(spark):
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed counts with a 10-minute watermark: an event
+    later than (max event time - watermark) must be DROPPED from its
+    already-finalized window; in-watermark late events are counted."""
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    def line(ts: str) -> str:
+        return f"<14>1 {ts} host app - - - m"
+
+    # batch 1: one event at 10:05, one at 12:05 (advances watermark to 11:55)
+    with open(f"{in_dir}/a.txt", "w") as f:
+        f.write(line("2016-01-10T10:05:00Z") + "\n")
+        f.write(line("2016-01-10T10:10:00Z") + "\n")
+        f.write(line("2016-01-10T12:05:00Z") + "\n")
+
+    out_dir = str(tmp_path / "out")
+    parsed = ST.parse_stream(ST.read_line_stream(spark, in_dir))
+    win = ST.windowed_counts(parsed, watermark="10 minutes")
+
+    def run_once():
+        q = (
+            win.selectExpr("window.start AS s", "n")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+
+    # batch 2: a too-late event for the 10:00 window (watermark is 11:55)
+    # plus another 12:xx event; then a 14:05 event to push the watermark
+    # past 13:00 so the 12:00 window finalizes
+    with open(f"{in_dir}/b.txt", "w") as f:
+        f.write(line("2016-01-10T10:20:00Z") + "\n")
+        f.write(line("2016-01-10T12:30:00Z") + "\n")
+        f.write(line("2016-01-10T14:05:00Z") + "\n")
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    counts = {str(r["s"])[:13]: r["n"] for r in rows}
+    # 10:00 window finalized with ONLY the two on-time events (10:20 dropped)
+    assert counts.get("2016-01-10 10") == 2, counts
+    # 12:00 window finalized with both 12:xx events (12:30 was in-watermark)
+    assert counts.get("2016-01-10 12") == 2, counts
     pages = synth.pages_df(spark, SF_SMOKE)
     meta = MM.extract_meta(pages)
     rows = meta.collect()
