@@ -248,6 +248,9 @@ def _lang_id_oracle() -> str:
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the engine works in unix seconds; timestamp RENDERING during
+        # synthesis must be UTC-stable even on a caller-provided session
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         _ensure_shipped(spark)
         return fn(spark, sf_dir)
 
