@@ -57,6 +57,23 @@ def sd_value(col: str, sd_id: str, param: str) -> F.Column:
     return F.col(col).getItem(sd_id).getItem(param)
 
 
+def sd_element(col: str, sd_id: str) -> F.Column:
+    """All params of one SD-ID (StructuredData::find_sdid, message.rs:131-133)."""
+    return F.col(col).getItem(sd_id)
+
+
+def sd_len(col: str = "sd") -> F.Column:
+    """Count of distinct SD-IDs (StructuredData::len, message.rs:136-143)."""
+    return F.size(F.col(col))
+
+
+def procid_order() -> list[F.Column]:
+    """ORDER BY analog of ProcId::partial_cmp (message.rs:31-39): PIDs
+    compare among PIDs, Names among Names; the cross-variant
+    incomparability has no SQL analog (documented divergence)."""
+    return [F.col("procid_pid"), F.col("procid_name")]
+
+
 def enrich(parsed: DataFrame, spark: SparkSession,
            with_lang: bool = True) -> DataFrame:
     """Broadcast hash joins against the enum dims; left joins keep rows with
