@@ -478,7 +478,7 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
                     else:
                         oh = int(tz[1:3])
                         om = int(tz[4:6])
-                        if oh > 25:  # UtcOffset::from_hms range
+                        if oh > 25 or om > 59:  # UtcOffset::from_hms range
                             row = _parse_slow(s)
                             break
                         off = oh * 3600 + om * 60

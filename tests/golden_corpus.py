@@ -219,6 +219,11 @@ GOLDEN = [
     }),
     ("bad_hour", "<1>1 2015-01-01T24:00:00Z host - - - -",
      "ERROR:InvalidDate"),
+    # offset minutes out of UtcOffset::from_hms range (parser.rs:303-306)
+    ("bad_offset_minutes", "<1>1 2015-01-01T18:50:00-04:90 - - - - -",
+     "ERROR:InvalidOffset"),
+    ("bad_offset_hours", "<1>1 2015-01-01T18:50:00+26:00 - - - - -",
+     "ERROR:InvalidOffset"),
     # PRI 200 => facility 25 > 23 (parser.rs:206-210)
     ("bad_facility", "<200>1 - - - - - -", "ERROR:BadFacilityInPri"),
     # 2-digit version is legal (parser.rs:349)

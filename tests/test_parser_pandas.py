@@ -91,10 +91,10 @@ def test_differential_fuzz():
             s = s[: rng.randrange(len(s) + 1)]
         elif op == 1 and s:  # flip one char
             i = rng.randrange(len(s))
-            s = s[:i] + rng.choice(' <>[]"\\-:.Z019abz\u00e9') + s[i + 1 :]
+            s = s[:i] + rng.choice(' <>[]"\\-:.Z0199abz+\u00e9') + s[i + 1 :]
         elif op == 2:  # insert
             i = rng.randrange(len(s) + 1)
-            s = s[:i] + rng.choice(' <>[]"\\-=@語m7') + s[i:]
+            s = s[:i] + rng.choice(' <>[]"\\-=@:+.語m79') + s[i:]
         # op==3: unchanged
         mutated.append(s)
     fast = P.parse_lines(pd.Series(mutated))
