@@ -255,6 +255,22 @@ GOLDEN = [
     # a term containing a non-ASCII char ends at the first non-printable
     # byte; the following take_char(' ') then fails
     ("hostname_nonascii", "<1>1 - hôst - - - - m", "ERROR:ExpectedTokenErr: "),
+    # remaining length caps: appname 48, procid 128, msgid 32 (parser.rs:355-362)
+    ("appname_48", "<1>1 - - " + "a" * 48 + " - - - m", {"appname": "a" * 48}),
+    ("appname_49", "<1>1 - - " + "a" * 49 + " - - - m",
+     "ERROR:ExpectedTokenErr: "),
+    ("procid_128", "<1>1 - - - " + "p" * 128 + " - - m",
+     {"procid_name": "p" * 128}),
+    ("procid_129", "<1>1 - - - " + "p" * 129 + " - - m",
+     "ERROR:ExpectedTokenErr: "),
+    ("msgid_32", "<1>1 - - - - " + "i" * 32 + " - m", {"msgid": "i" * 32}),
+    ("msgid_33", "<1>1 - - - - " + "i" * 33 + " - m",
+     "ERROR:ExpectedTokenErr: "),
+    # SD-ID cap is 128 (parser.rs:108-117); one over fails at take_char(']')
+    ("sd_id_128", "<1>1 - - - - - [" + "s" * 128 + "] m",
+     {"sd": {"s" * 128: {}}, "msg": "m"}),
+    ("sd_id_129", "<1>1 - - - - - [" + "s" * 129 + "] m",
+     "ERROR:ExpectedTokenErr:]"),
     ("truncated_mid_pri", "<1", "ERROR:UnexpectedEndOfInput"),
     ("empty_line", "", "ERROR:UnexpectedEndOfInput"),
     ("not_syslog", "hello world", "ERROR:ExpectedTokenErr:<"),
