@@ -3,13 +3,17 @@
 Usage:
     spark-submit --py-files sparklog.zip jobs/run_pipeline.py \
         --input /root/testdata/sf0.01 --output /tmp/out \
-        --checkpoint /tmp/ckpt [--chunks 8] [--parallelism 32] [--corrupt]
+        --checkpoint /tmp/ckpt [--parallelism 32] [--corrupt]
 
-Stages per chunk (SURVEY.md §2D): scan -> synth -> tag lineage -> parse
+Stage 0 (once): materialize pages partitioned by days(warc_ts) — the
+Iceberg-style layout. Unit of work = one warc_day partition; each chunk's
+scan is PARTITION-PRUNED to that day's files (never rescans completed
+days on resume).
+
+Per chunk (SURVEY.md §2D): pruned scan -> synth -> tag lineage -> parse
 (vectorized UDF) -> enrich (broadcast joins) -> salted route write
-(per-severity sinks + rejects) -> hourly agg -> metrics; then the chunk's
-manifest entry is committed atomically. Re-running after a crash skips
-completed chunks (anti-join against the manifest).
+(per-severity sinks + rejects) -> hourly agg -> metrics -> ATOMIC manifest
+commit. Re-running after a crash processes only pending days.
 """
 
 from __future__ import annotations
@@ -30,7 +34,6 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="sf dir with documents.parquet")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--corrupt", action="store_true")
     args = ap.parse_args()
@@ -48,28 +51,37 @@ def main() -> None:
     spark = build_spark(app="sparklog-pipeline", master=master,
                         shuffle_partitions=args.parallelism)
 
-    pending = CK.pending_chunks(args.checkpoint, args.chunks)
+    # stage 0: day-partitioned pages (Iceberg days(warc_ts) analog)
+    pages_dir = os.path.join(args.output, "_pages")
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        synth.write_pages_partitioned(spark, args.input, pages_dir)
+    pages = spark.read.parquet(pages_dir)
+
+    planned = sorted(
+        str(r["warc_day"]) for r in pages.select("warc_day").distinct().collect()
+    )
+    pending = CK.pending_chunks(args.checkpoint, planned)
     print(f"chunks pending: {pending}")
 
-    lines_all = synth.lines_df(spark, args.input, corrupt=args.corrupt)
-    lines_all = lines_all.withColumn("chunk", CK.chunk_col(args.chunks))
-
-    for chunk in pending:
+    for day in pending:
         t0 = time.perf_counter()
-        chunk_lines = lines_all.filter(F.col("chunk") == chunk).drop("chunk")
+        # partition-pruned scan: only this day's files are read
+        day_pages = pages.filter(F.col("warc_day") == day).select(
+            "doc_id", "text", "lang"
+        )
+        chunk_lines = synth.lines_from_docs(day_pages, corrupt=args.corrupt)
         tagged = M.tag_partitions(chunk_lines)
         parsed = parse_df(tagged)
         enriched = PL.enrich(parsed, spark, with_lang=False)
 
-        sink_dir = os.path.join(args.output, f"chunk={chunk}")
+        sink_dir = os.path.join(args.output, f"chunk={day}")
         counts = PL.route_write(enriched, sink_dir)
 
         agg = PL.hourly_agg(enriched.filter(F.col("parse_error").isNull()))
         agg.write.mode("overwrite").parquet(
-            os.path.join(args.output, f"agg/chunk={chunk}")
+            os.path.join(args.output, f"agg/chunk={day}")
         )
-        metrics = M.partition_metrics(enriched).collect()
-        metrics_rows = [r.asDict() for r in metrics]
+        metrics_rows = [r.asDict() for r in M.partition_metrics(enriched).collect()]
 
         rows_in = sum(r["rows_in"] for r in metrics_rows)
         rows_ok = sum(r["rows_ok"] for r in metrics_rows)
@@ -78,7 +90,7 @@ def main() -> None:
         assert sum(counts.values()) == rows_in, (counts, rows_in)
 
         CK.write_manifest_entry(args.checkpoint, {
-            "chunk": chunk,
+            "chunk": day,
             "rows_in": rows_in,
             "rows_ok": rows_ok,
             "rows_rejected": rows_rej,
@@ -87,7 +99,7 @@ def main() -> None:
             "partitions": metrics_rows,
             "wall_sec": round(time.perf_counter() - t0, 3),
         })
-        print(f"chunk {chunk}: in={rows_in} ok={rows_ok} rej={rows_rej}")
+        print(f"chunk {day}: in={rows_in} ok={rows_ok} rej={rows_rej}")
 
     done = CK.done_chunks(args.checkpoint)
     summary = {

@@ -1,24 +1,26 @@
 """Checkpoint/resume for the batch pipeline (north-rule stage D9).
 
-Unit of work = a deterministic chunk of the input keyed by
-``pmod(xxhash64(doc_id), n_chunks)`` (at production scale: one Iceberg
-day-partition of ``warc_ts`` per chunk — same mechanism, coarser key).
+Unit of work = one ``warc_day`` partition of the pages table (the Iceberg
+``days(warc_ts)`` partition spec): each chunk's scan is PARTITION-PRUNED to
+that day's files, so resuming never rescans completed days. A hash-based
+chunk key (``hash_chunk_col``) remains available for unpartitioned inputs.
 
 Protocol:
-  1. planned chunks = all chunk ids; done chunks = manifest entries.
+  1. planned chunks = the table's partition values; done = manifest entries.
   2. each run processes only pending chunks; after a chunk's sinks are
-     written, its manifest entry (chunk id, rows_in, rows_ok, rows_rejected,
-     content fingerprint) is written ATOMICALLY (tmp file + rename) —
-     a crash mid-chunk leaves no entry, so the chunk reruns idempotently
-     (sink writes go to per-chunk subdirectories, overwrite mode).
-  3. resume = anti-join of planned vs manifest — restart-safe with
-     per-partition lineage preserved in the manifest itself.
+     written, its manifest entry (chunk key, rows_in, rows_ok,
+     rows_rejected, per-partition lineage, content fingerprint) is written
+     ATOMICALLY (tmp file + rename) — a crash mid-chunk leaves no entry, so
+     the chunk reruns idempotently (sink writes go to per-chunk
+     subdirectories, overwrite mode).
+  3. resume = anti-join of planned vs manifest — restart-safe.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -27,7 +29,8 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifest"
 
 
-def chunk_col(n_chunks: int) -> F.Column:
+def hash_chunk_col(n_chunks: int) -> F.Column:
+    """Stable hash chunking for inputs without a partition column."""
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_chunks)).cast("int")
 
 
@@ -35,16 +38,20 @@ def manifest_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, MANIFEST_DIR)
 
 
-def done_chunks(checkpoint_dir: str) -> dict[int, dict]:
+def _safe_key(chunk) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", str(chunk))
+
+
+def done_chunks(checkpoint_dir: str) -> dict[str, dict]:
     mdir = manifest_path(checkpoint_dir)
     if not os.path.isdir(mdir):
         return {}
-    out: dict[int, dict] = {}
+    out: dict[str, dict] = {}
     for fn in os.listdir(mdir):
         if fn.endswith(".json"):
             with open(os.path.join(mdir, fn)) as f:
                 entry = json.load(f)
-            out[entry["chunk"]] = entry
+            out[str(entry["chunk"])] = entry
     return out
 
 
@@ -52,16 +59,24 @@ def write_manifest_entry(checkpoint_dir: str, entry: dict) -> None:
     """Atomic: write to a temp file in the same dir, then rename."""
     mdir = manifest_path(checkpoint_dir)
     os.makedirs(mdir, exist_ok=True)
-    final = os.path.join(mdir, f"chunk-{entry['chunk']:05d}.json")
+    final = os.path.join(mdir, f"chunk-{_safe_key(entry['chunk'])}.json")
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(entry, f)
     os.replace(tmp, final)
 
 
-def pending_chunks(checkpoint_dir: str, n_chunks: int) -> list[int]:
+def remove_manifest_entry(checkpoint_dir: str, chunk) -> None:
+    os.remove(
+        os.path.join(manifest_path(checkpoint_dir),
+                     f"chunk-{_safe_key(chunk)}.json")
+    )
+
+
+def pending_chunks(checkpoint_dir: str, planned) -> list:
+    """planned: iterable of chunk keys (day strings or ints)."""
     done = done_chunks(checkpoint_dir)
-    return [c for c in range(n_chunks) if c not in done]
+    return [c for c in planned if str(c) not in done]
 
 
 def content_fingerprint(df: DataFrame) -> int:

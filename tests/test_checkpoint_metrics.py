@@ -18,13 +18,16 @@ from conftest import SF_SMOKE
 
 def test_manifest_atomic_roundtrip(tmp_path):
     ck = str(tmp_path / "ckpt")
-    assert CK.pending_chunks(ck, 4) == [0, 1, 2, 3]
-    CK.write_manifest_entry(ck, {"chunk": 2, "rows_in": 10})
-    assert CK.pending_chunks(ck, 4) == [0, 1, 3]
-    assert CK.done_chunks(ck)[2]["rows_in"] == 10
+    days = ["2016-01-10", "2016-01-11", "2016-01-12"]
+    assert CK.pending_chunks(ck, days) == days
+    CK.write_manifest_entry(ck, {"chunk": "2016-01-11", "rows_in": 10})
+    assert CK.pending_chunks(ck, days) == ["2016-01-10", "2016-01-12"]
+    assert CK.done_chunks(ck)["2016-01-11"]["rows_in"] == 10
     # idempotent rewrite
-    CK.write_manifest_entry(ck, {"chunk": 2, "rows_in": 11})
-    assert CK.done_chunks(ck)[2]["rows_in"] == 11
+    CK.write_manifest_entry(ck, {"chunk": "2016-01-11", "rows_in": 11})
+    assert CK.done_chunks(ck)["2016-01-11"]["rows_in"] == 11
+    CK.remove_manifest_entry(ck, "2016-01-11")
+    assert CK.pending_chunks(ck, days) == days
 
 
 def test_partition_metrics_conservation(spark):
@@ -49,39 +52,44 @@ def _run_pipeline(args):
 
 
 def test_run_pipeline_resume(tmp_path):
-    """Full job in two halves: run chunks partially, then resume; the
-    final manifest + sinks must equal a single-shot run's totals."""
+    """Full job in two halves: pre-mark one day done (simulating a prior
+    run), run, then clear it and resume; final manifest totals must equal
+    a single-shot run's. Chunks are warc_day partitions (pruned scans)."""
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
     common = ["--input", SF_SMOKE, "--output", out, "--checkpoint", ck,
-              "--chunks", "3", "--parallelism", "4", "--corrupt"]
+              "--parallelism", "4", "--corrupt"]
 
-    # simulate a crashed first run: pre-mark chunk 1 done with fake entry,
-    # run, then verify only 0 and 2 were processed
-    CK.write_manifest_entry(ck, {"chunk": 1, "rows_in": -1, "rows_ok": -1,
-                                 "rows_rejected": -1, "sink_counts": {}})
+    fake_day = "2016-01-11"
+    CK.write_manifest_entry(ck, {"chunk": fake_day, "rows_in": -1,
+                                 "rows_ok": -1, "rows_rejected": -1,
+                                 "sink_counts": {}})
     r1 = _run_pipeline(common)
     assert r1.returncode == 0, r1.stderr[-2000:]
-    assert "chunks pending: [0, 2]" in r1.stdout
+    pending_line = next(
+        ln for ln in r1.stdout.splitlines() if ln.startswith("chunks pending")
+    )
+    assert f"'{fake_day}'" not in pending_line, pending_line
 
-    # now clear chunk 1's fake entry and resume: only chunk 1 runs
-    import os
-    os.remove(os.path.join(CK.manifest_path(ck), "chunk-00001.json"))
+    # clear the fake entry and resume: ONLY that day runs
+    CK.remove_manifest_entry(ck, fake_day)
     r2 = _run_pipeline(common)
     assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "chunks pending: [1]" in r2.stdout
+    assert f"chunks pending: ['{fake_day}']" in r2.stdout
 
     done = CK.done_chunks(ck)
-    assert sorted(done) == [0, 1, 2]
     summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary["chunks_done"] == len(done) >= 7  # 7-day synth window
     assert summary["rows_in"] == 500  # sf0.001 documents
     assert summary["rows_ok"] + summary["rows_rejected"] == 500
     assert summary["rows_rejected"] > 0
+    # per-day lineage recorded
+    assert all("partitions" in e for e in done.values())
 
 
-def test_chunking_is_partition_stable(spark):
-    """Chunk assignment depends only on doc_id, never on partitioning."""
-    lines = synth.lines_df(spark, SF_SMOKE).withColumn("c", CK.chunk_col(8))
+def test_hash_chunking_is_partition_stable(spark):
+    """Hash-chunk assignment depends only on doc_id, never on partitioning."""
+    lines = synth.lines_df(spark, SF_SMOKE).withColumn("c", CK.hash_chunk_col(8))
     a = {r["doc_id"]: r["c"] for r in lines.repartition(2).collect()}
     b = {r["doc_id"]: r["c"] for r in lines.repartition(16).collect()}
     assert a == b
