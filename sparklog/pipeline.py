@@ -121,6 +121,20 @@ def salted(df: DataFrame, key: str, num_partitions: int | None = None,
     return df.repartition(F.col(key), salt)
 
 
+def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
+                   buckets: int = 16) -> None:
+    """Bucketed table for shuffle-free co-located joins (north rule D6):
+    two tables bucketed+sorted on the same key join with zero Exchange —
+    at 100 TB this turns the repeated big-big join into a local merge."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def route_write(enriched: DataFrame, out_dir: str) -> dict[str, int]:
     """Fan-out to per-severity sinks in ONE write pass; rejects get their
     own sink. Returns per-sink row counts (read back from the sinks).
