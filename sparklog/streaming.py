@@ -42,6 +42,67 @@ def windowed_counts(parsed: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+SESSION_GAP_SECONDS = 1800
+
+_SESSION_OUT_SCHEMA = (
+    "hostname STRING, session_start LONG, session_end LONG, n_events LONG"
+)
+_SESSION_STATE_SCHEMA = "start_ts LONG, last_ts LONG, n LONG"
+
+
+def sessionize(parsed: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-hostname
+    sessionization with a gap timeout. A session closes when the next
+    event for the host arrives more than gap_seconds later; closed
+    sessions are emitted, the open session persists in state across
+    micro-batches (and across restarts via the checkpoint).
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t) for t in pdf["timestamp"].dropna())
+        ts_list.sort()
+        if state.exists:
+            start_ts, last_ts, n = state.get
+        else:
+            start_ts = last_ts = None
+            n = 0
+        out = []
+        for t in ts_list:
+            if start_ts is None:
+                start_ts = last_ts = t
+                n = 1
+            elif t - last_ts > gap_seconds:
+                out.append((key[0], start_ts, last_ts, n))
+                start_ts = last_ts = t
+                n = 1
+            else:
+                last_ts = t
+                n += 1
+        if start_ts is not None:
+            state.update((start_ts, last_ts, n))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["hostname", "session_start", "session_end", "n_events"]
+            )
+
+    events = parsed.filter(
+        F.col("parse_error").isNull()
+        & F.col("hostname").isNotNull()
+        & F.col("timestamp").isNotNull()
+    ).select("hostname", "timestamp")
+    return events.groupBy("hostname").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def start_routed_stream(spark: SparkSession, in_dir: str, out_dir: str,
                         checkpoint_dir: str, once: bool = True):
     """readStream -> foreachBatch(parse -> enrich -> per-severity sinks).

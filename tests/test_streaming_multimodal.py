@@ -99,6 +99,58 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     assert counts.get("2016-01-10 10") == 2, counts
     # 12:00 window finalized with both 12:xx events (12:30 was in-watermark)
     assert counts.get("2016-01-10 12") == 2, counts
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: the open session survives in
+    state across micro-batches (via the resumed checkpoint); a >gap event
+    in batch 2 closes and emits the session opened in batch 1."""
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    def line(ts: str) -> str:
+        return f"<14>1 {ts} hostA app - - - m"
+
+    def run_once():
+        parsed = ST.parse_stream(ST.read_line_stream(spark, in_dir))
+        q = (
+            ST.sessionize(parsed, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: two events 10 min apart — one open session, nothing emitted
+    with open(f"{in_dir}/a.txt", "w") as f:
+        f.write(line("2016-01-10T10:00:00Z") + "\n")
+        f.write(line("2016-01-10T10:10:00Z") + "\n")
+    run_once()
+    try:
+        n0 = spark.read.parquet(out_dir).count()
+    except Exception:
+        n0 = 0
+    assert n0 == 0
+
+    # batch 2: a 2h-later event closes the session from batch 1
+    with open(f"{in_dir}/b.txt", "w") as f:
+        f.write(line("2016-01-10T12:10:00Z") + "\n")
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["hostname"] == "hostA"
+    assert r["n_events"] == 2
+    assert r["session_start"] == 1452420000  # 2016-01-10T10:00:00Z
+    assert r["session_end"] == 1452420600    # 10:10:00Z
+
+
+def test_multimodal_meta_shapes(spark):
     pages = synth.pages_df(spark, SF_SMOKE)
     meta = MM.extract_meta(pages)
     rows = meta.collect()
