@@ -171,6 +171,12 @@ def q_facility_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped operator (applyInPandas): per-hostname gap-based
+    sessionization, cross-checked against a pure-SQL window formulation."""
+    return PL.sessionize_batch(_parsed(spark, sf_dir))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(synth.load_documents(spark, sf_dir))
 
@@ -272,6 +278,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "routed_total": q_routed_total,
         "top_hosts": q_top_hosts,
         "facility_rank": q_facility_rank,
+        "sessionize": q_sessionize,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
@@ -385,6 +392,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_dups,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "sessionize": f"""
+            WITH e AS (
+              SELECT {R.HOSTNAME} AS hostname, {R.TS_SECS} AS ts
+              FROM documents
+              WHERE ({R.HOSTNAME}) IS NOT NULL AND ({R.TS_SECS}) IS NOT NULL
+            ), s AS (
+              SELECT hostname, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY hostname ORDER BY ts)
+            ), g AS (
+              SELECT hostname, ts,
+                     SUM(brk) OVER (PARTITION BY hostname ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT hostname,
+                   CAST(MIN(ts) AS BIGINT) AS session_start,
+                   CAST(MAX(ts) AS BIGINT) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY hostname, sid
         """,
         "lang_id": _lang_id_oracle(),
         "ngram_jaccard": """

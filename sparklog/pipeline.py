@@ -121,6 +121,51 @@ def salted(df: DataFrame, key: str, num_partitions: int | None = None,
     return df.repartition(F.col(key), salt)
 
 
+SESSION_GAP_SECONDS = 1800
+
+_SESSION_SCHEMA = (
+    "hostname STRING, session_start LONG, session_end LONG, n_events LONG"
+)
+
+
+def sessionize_batch(parsed: DataFrame,
+                     gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Batch sessionization as a custom grouped operator (applyInPandas):
+    per-hostname event streams split on gaps > gap_seconds. The streaming
+    twin (sparklog/streaming.sessionize) shares the semantics; the DuckDB
+    oracle expresses the same thing with window functions, so the driver
+    gate cross-checks the Python operator against pure SQL."""
+
+    def fn(pdf):
+        import pandas as pd
+
+        ts = pdf["timestamp"].sort_values().to_numpy()
+        host = pdf["hostname"].iloc[0]
+        out = []
+        start = last = int(ts[0])
+        n = 1
+        for t in ts[1:]:
+            t = int(t)
+            if t - last > gap_seconds:
+                out.append((host, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        out.append((host, start, last, n))
+        return pd.DataFrame(
+            out, columns=["hostname", "session_start", "session_end", "n_events"]
+        )
+
+    events = parsed.filter(
+        F.col("parse_error").isNull()
+        & F.col("hostname").isNotNull()
+        & F.col("timestamp").isNotNull()
+    ).select("hostname", "timestamp")
+    return events.groupBy("hostname").applyInPandas(fn, _SESSION_SCHEMA)
+
+
 def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
                    buckets: int = 16) -> None:
     """Bucketed table for shuffle-free co-located joins (north rule D6):
