@@ -171,6 +171,22 @@ def q_facility_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grok_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic grok/regex parse (JVM-side) over the events table's props
+    strings; non-matching rows flagged errors-as-data style."""
+    from sparklog.grok import grok
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = grok(
+        events.select("event_id", "props"), "props",
+        r'\{"k": %{INT:k}\}', types={"k": "int"},
+    )
+    return out.select(
+        "event_id", "k",
+        F.col("_grok_matched").cast("int").alias("matched"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped operator (applyInPandas): per-hostname gap-based
     sessionization, cross-checked against a pure-SQL window formulation."""
@@ -279,6 +295,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_hosts": q_top_hosts,
         "facility_rank": q_facility_rank,
         "sessionize": q_sessionize,
+        "grok_events": q_grok_events,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
@@ -392,6 +409,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_dups,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "grok_events": r"""
+            SELECT event_id,
+                   CASE WHEN regexp_matches(props, '^\{"k": [+-]?\d+\}$')
+                        THEN CAST(regexp_extract(props, '([+-]?\d+)', 1) AS INT)
+                        END AS k,
+                   CASE WHEN regexp_matches(props, '^\{"k": [+-]?\d+\}$')
+                        THEN 1 ELSE 0 END AS matched
+            FROM events
         """,
         "sessionize": f"""
             WITH e AS (

@@ -1,0 +1,69 @@
+"""Generic grok/regex parse operator tests (JVM-side extraction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklog.grok import GROK_PATTERNS, expand_grok, grok
+
+
+@pytest.fixture(scope="module")
+def access_logs(spark):
+    rows = [
+        (0, '127.0.0.1 GET /v1/ok 200 145 12.5'),
+        (1, '10.2.3.4 POST /login 401 89 3.25'),
+        (2, 'not a log line'),
+        (3, '192.168.0.9 GET /assets/app.js 304 0 0.1'),
+    ]
+    return spark.createDataFrame(rows, "id LONG, raw STRING")
+
+
+_PATTERN = (
+    "%{IP:client} %{WORD:method} %{NOTSPACE:path} "
+    "%{INT:status} %{INT:bytes} %{NUMBER:latency}"
+)
+
+
+def test_grok_extracts_typed_columns(access_logs):
+    out = grok(
+        access_logs, "raw", _PATTERN,
+        types={"status": "int", "bytes": "long", "latency": "double"},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["client"] == "127.0.0.1"
+    assert rows[0]["method"] == "GET"
+    assert rows[0]["status"] == 200 and isinstance(rows[0]["status"], int)
+    assert rows[1]["latency"] == 3.25
+    assert rows[3]["path"] == "/assets/app.js"
+
+
+def test_grok_nonmatching_rows_are_null_flagged(access_logs):
+    out = grok(access_logs, "raw", _PATTERN)
+    bad = out.filter(~F.col("_grok_matched")).collect()
+    assert [r["id"] for r in bad] == [2]
+    assert all(bad[0][c] is None for c in
+               ("client", "method", "path", "status", "bytes", "latency"))
+
+
+def test_grok_plan_is_jvm_only(access_logs):
+    """No python nodes: the generic parse stays in whole-stage codegen."""
+    out = grok(access_logs, "raw", _PATTERN)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "WholeStageCodegen" in plan or "Project" in plan
+
+
+def test_expand_grok_unknown_primitive():
+    with pytest.raises(ValueError):
+        expand_grok("%{NOPE:x}")
+
+
+def test_grok_iso8601_primitive(spark):
+    df = spark.createDataFrame(
+        [(0, "2016-01-15T00:04:01+00:00 ok")], "id LONG, raw STRING"
+    )
+    out = grok(df, "raw", "%{TIMESTAMP_ISO8601:ts} %{WORD:msg}")
+    r = out.collect()[0]
+    assert r["ts"] == "2016-01-15T00:04:01+00:00" and r["msg"] == "ok"
+    assert set(GROK_PATTERNS) >= {"IP", "INT", "NUMBER", "WORD"}
