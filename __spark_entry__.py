@@ -38,8 +38,10 @@ def _ensure_shipped(spark: SparkSession) -> None:
     unpickle UDF closures that reference the module; addPyFile fixes that
     regardless of cwd (and is a no-op burden when cwd is the repo).
     """
-    key = id(spark.sparkContext)
-    if str(key) in _SHIPPED:
+    # keyed on applicationId, not id(sparkContext): CPython can reuse an
+    # id() after GC, which would silently skip shipping for a new context
+    key = spark.sparkContext.applicationId
+    if key in _SHIPPED:
         return
     try:
         import tempfile
@@ -49,9 +51,16 @@ def _ensure_shipped(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(
             build(tempfile.mkdtemp(prefix="sparklog_pyfiles_"))
         )
-    except Exception:
-        pass  # already importable from cwd / already added
-    _SHIPPED.add(str(key))
+        _SHIPPED.add(key)
+    except Exception as e:  # noqa: BLE001 - surface, then retry next call
+        # an 'already added' duplicate is fine and final; anything else is
+        # a real packaging failure — log it and DON'T cache, so the next
+        # call retries instead of dying later with ModuleNotFoundError
+        if "already" in str(e).lower():
+            _SHIPPED.add(key)
+        else:
+            print(f"sparklog: addPyFile failed ({e!r}); will retry",
+                  file=sys.stderr)
 
 
 def _parsed(spark: SparkSession, sf_dir: str, corrupt: bool = False) -> DataFrame:

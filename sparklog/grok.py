@@ -48,12 +48,15 @@ def expand_grok(pattern: str) -> str:
     return _ALIAS_RE.sub(sub, pattern)
 
 
-def _group_names(java_style_pattern: str) -> list[str]:
+def _group_names(java_style_pattern: str) -> list[tuple[str, int]]:
     # convert (?<name>...) (java) to (?P<name>...) (python) only to let
-    # python's re tell us group names/order; the JVM gets the java form
+    # python's re tell us group names and their REAL group numbers; the JVM
+    # gets the java form. Using groupindex (not enumeration order) keeps
+    # extraction correct when the pattern mixes in unnamed capturing groups
+    # like '(?<a>\\d+) (foo|bar) (?<b>\\d+)'.
     py = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", java_style_pattern)
     compiled = re.compile(py)
-    return [n for n, _ in sorted(compiled.groupindex.items(), key=lambda kv: kv[1])]
+    return sorted(compiled.groupindex.items(), key=lambda kv: kv[1])
 
 
 def grok(df: DataFrame, col: str, pattern: str,
@@ -72,7 +75,7 @@ def grok(df: DataFrame, col: str, pattern: str,
     anchored = java_pat if java_pat.startswith("^") else f"^{java_pat}$"
     matched = F.col(col).rlike(anchored).alias("_grok_matched")
     cols: list[Column] = []
-    for i, name in enumerate(names, start=1):
+    for name, i in names:
         c = F.regexp_extract(F.col(col), anchored, i)
         # regexp_extract returns '' on no-match; null it out
         c = F.when(F.col("_grok_matched"), c)

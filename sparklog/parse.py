@@ -171,12 +171,12 @@ def _take_timestamp(s: str, pos: int):
     pos = _take_char(s, pos, "-")
     month, pos = _take_num(s, pos, 2, 2)
     if not (1 <= month <= 12):
-        raise _Err(S.ERR_INVALID_MONTH)
+        raise _Err(S.err_invalid_month(month))
     pos = _take_char(s, pos, "-")
     mday, pos = _take_num(s, pos, 2, 2)
     dim = _DAYS_IN_MONTH[month] + (1 if (month == 2 and _is_leap(year)) else 0)
     if not (1 <= mday <= dim):
-        raise _Err(S.ERR_INVALID_DATE)
+        raise _Err(S.err_invalid_date("day"))
     pos = _take_char(s, pos, "T")
     hour, pos = _take_num(s, pos, 2, 2)
     pos = _take_char(s, pos, ":")
@@ -192,12 +192,23 @@ def _take_timestamp(s: str, pos: int):
         # parser.rs:296-298 sees a digit => InvalidUTCOffset).
         val, pos = _take_num(s, pos, 1, 9)
         nanos = val * (10 ** (9 - (pos - start)))
-    # hour/minute/second validated like time::Time::from_hms_nano
-    if hour > 23 or minute > 59 or second > 59:
-        raise _Err(S.ERR_INVALID_DATE)
+    # hour/minute/second validated like time::Time::from_hms_nano; the
+    # InvalidDate payload is the failing component's name, exactly what the
+    # time crate's ComponentRange::name() yields (parser.rs:283)
+    if hour > 23:
+        raise _Err(S.err_invalid_date("hour"))
+    if minute > 59:
+        raise _Err(S.err_invalid_date("minute"))
+    if second > 59:
+        raise _Err(S.err_invalid_date("second"))
     # UTC offset (parser.rs:285-308): EOF => UTC, 'Z' => UTC, '±HH?MM' with
     # the separator byte skipped unchecked (irest[3..5], parser.rs:300-302);
     # ANY other char (including the ' ' of a full message) is an error.
+    # Known divergence: an offset tail shorter than 5 chars (e.g.
+    # '...T00:00:00+0') PANICS in the reference on the irest[0..2]/[3..5]
+    # byte slices; here the same input becomes an IntConversionErr error
+    # row (errors-as-data) — deliberate, recorded in SURVEY.md §1.4 so
+    # parity fuzzing doesn't flag it as a regression.
     offset = 0
     if pos < len(s):
         c = s[pos]

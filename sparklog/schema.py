@@ -59,6 +59,17 @@ def err_expected_token(c: str) -> str:
     return f"ExpectedTokenErr:{c}"
 
 
+def err_invalid_month(n: int) -> str:
+    """InvalidMonth(u8) — parser.rs:40,264; the bad month number is recorded."""
+    return f"{ERR_INVALID_MONTH}:{n}"
+
+
+def err_invalid_date(component: str) -> str:
+    """InvalidDate(String) — parser.rs:42,268/283: the time crate's
+    ComponentRange error name ('day'/'hour'/'minute'/'second')."""
+    return f"{ERR_INVALID_DATE}:{component}"
+
+
 # --- canonical parsed schema (SURVEY.md §1.1) ------------------------------
 
 PARSED_FIELDS = [

@@ -17,7 +17,7 @@ def build_spark(app: str = "sparklog", master: str | None = None,
                 extra_conf: dict[str, str] | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    shuffle = shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)
     b = (
         SparkSession.builder.appName(app)
         .master(master)

@@ -210,15 +210,23 @@ GOLDEN = [
     # missing offset inside a message is an error (parser.rs:296-298)
     ("ts_no_offset", "<1>1 2015-01-01T00:00:00 host - - - -",
      "ERROR:InvalidUTCOffset"),
+    # payloads carried like the reference: InvalidMonth(u8) records the bad
+    # month, InvalidDate(String) the failing component name (parser.rs:40-42)
     ("bad_month", "<1>1 2015-13-01T00:00:00Z host - - - -",
-     "ERROR:InvalidMonth"),
+     "ERROR:InvalidMonth:13"),
     ("bad_mday", "<1>1 2015-02-29T00:00:00Z host - - - -",
-     "ERROR:InvalidDate"),
+     "ERROR:InvalidDate:day"),
     ("leap_mday", "<1>1 2016-02-29T00:00:00Z host - - - -", {
         "timestamp": 1456704000,
     }),
     ("bad_hour", "<1>1 2015-01-01T24:00:00Z host - - - -",
-     "ERROR:InvalidDate"),
+     "ERROR:InvalidDate:hour"),
+    ("bad_minute", "<1>1 2015-01-01T00:60:00Z host - - - -",
+     "ERROR:InvalidDate:minute"),
+    ("bad_second", "<1>1 2015-01-01T00:00:60Z host - - - -",
+     "ERROR:InvalidDate:second"),
+    ("bad_month_zero", "<1>1 2015-00-01T00:00:00Z host - - - -",
+     "ERROR:InvalidMonth:0"),
     # offset minutes out of UtcOffset::from_hms range (parser.rs:303-306)
     ("bad_offset_minutes", "<1>1 2015-01-01T18:50:00-04:90 - - - - -",
      "ERROR:InvalidOffset"),

@@ -67,3 +67,13 @@ def test_grok_iso8601_primitive(spark):
     r = out.collect()[0]
     assert r["ts"] == "2016-01-15T00:04:01+00:00" and r["msg"] == "ok"
     assert set(GROK_PATTERNS) >= {"IP", "INT", "NUMBER", "WORD"}
+
+
+def test_grok_unnamed_groups_use_real_indices(spark):
+    """Named groups mixed with unnamed capturing groups must extract by the
+    REAL regex group number, not the named-group enumeration order."""
+    df = spark.createDataFrame([(0, "12 foo 34")], "id LONG, raw STRING")
+    out = grok(df, "raw", r"(?<a>\d+) (foo|bar) (?<b>\d+)",
+               types={"a": "int", "b": "int"})
+    r = out.collect()[0]
+    assert r["a"] == 12 and r["b"] == 34 and r["_grok_matched"]
