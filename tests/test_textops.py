@@ -109,3 +109,48 @@ def test_minhash_lsh_one_shuffle_shape(spark, toy_docs):
     plan = TX.minhash_neardup(toy_docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_fingerprint_plans_are_jvm_only(spark, toy_docs):
+    """The round-1 Python kernels are gone: no Arrow/pandas nodes anywhere
+    in the simhash or fingerprint plans."""
+    for df in (TX.simhash(toy_docs), TX.fingerprint(toy_docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+
+def test_minhash_band_exchange_carries_no_shingles(spark, toy_docs):
+    """Scale audit: the band-key shuffle must move (doc_id, band_id,
+    band_key) only — the shingle array joins back AFTER candidate dedup."""
+    plan = TX.minhash_neardup(toy_docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the optimized plan's band-join keys reference band_key; _sh may only
+    # appear in the later verification joins (by doc_id), so any join ON
+    # band_key must not carry _sh in its output column set
+    import re
+    joins = [seg for seg in plan.split("Join")
+             if "band_key" in seg.split("\n")[0]]
+    assert joins, "band-key join missing from plan"
+    assert all("_sh" not in seg.split("\n")[0] for seg in joins)
+
+
+def test_fingerprint_is_oracle_friendly_md5(spark):
+    docs = spark.createDataFrame([(0, "A  b\tC")], "doc_id LONG, text STRING")
+    import hashlib
+    want = hashlib.md5(b"a b c").hexdigest()
+    assert TX.fingerprint(docs).collect()[0]["fp"] == want
+
+
+def test_documents_ascii_safe_for_json_oracle(spark):
+    """Precondition the json_serialize oracle relies on: document text at
+    every SF is printable ASCII with no quote/backslash, so msg embeds
+    into JSON verbatim."""
+    for sf in ("/root/testdata/sf0.001", SF_CORRECT):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        bad = docs.filter(
+            F.col("text").rlike('["\\\\]')
+            | F.col("text").rlike("[^\\x20-\\x7e]")
+        ).count()
+        assert bad == 0, f"{sf}: {bad} docs break the verbatim-msg assumption"
