@@ -73,7 +73,18 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
-def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
+              runs: int = 3):
+    """Each leg is timed `runs` times and reported as the MEDIAN — this
+    host shows CPU-steal spikes (BASELINE.md: three scaling runs spanned
+    0.63-0.97 efficiency), so a single timing can read 2-4x slow. The
+    per-leg spread is reported alongside so a noisy round is visible."""
     from sparklog import pipeline as PL
     from sparklog.udf import parse_df
 
@@ -83,23 +94,24 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
         lines, n_rows = _replicated_lines(spark, sf_dir, target_rows, cpus,
                                           stage_dir)
 
-        timings: dict[str, float] = {}
+        samples: dict[str, list[float]] = {}
+
+        def leg(name: str, fn, n: int = runs) -> None:
+            samples[name] = [_timed(fn) for _ in range(n)]
 
         # warm-up: spawn python workers / JIT / page-cache the staged files
         parse_df(lines.limit(20000)).agg(F.count("parse_error")).collect()
 
         parsed = parse_df(lines)
-        timings["parse_count"] = _timed(
-            lambda: parsed.agg(
-                F.sum(F.when(F.col("parse_error").isNull(), 1).otherwise(0))
-            ).collect()
-        )
+        leg("parse_count", lambda: parsed.agg(
+            F.sum(F.when(F.col("parse_error").isNull(), 1).otherwise(0))
+        ).collect())
 
         def e2e():
             ok, _ = PL.split_rejects(parse_df(lines))
             PL.hourly_agg(PL.enrich(ok, spark)).collect()
 
-        timings["parse_enrich_agg"] = _timed(e2e)
+        leg("parse_enrich_agg", e2e)
 
         out_dir = tempfile.mkdtemp(prefix="sparklog_bench_route_")
         try:
@@ -107,7 +119,7 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
                 ok, _ = PL.split_rejects(parse_df(lines))
                 PL.route_write(PL.enrich(ok, spark, with_lang=False), out_dir)
 
-            timings["parse_enrich_route_write"] = _timed(route)
+            leg("parse_enrich_route_write", route, n=max(2, runs - 1))
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -116,14 +128,17 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000):
         from sparklog.synth import load_documents
 
         docs = load_documents(spark, sf_dir)
-        timings["minhash_neardup"] = _timed(
-            lambda: textops.minhash_neardup(docs).count()
-        )
-        timings["dedup_exact"] = _timed(lambda: textops.dedup_exact(docs).count())
+        leg("minhash_neardup", lambda: textops.minhash_neardup(docs).count())
+        leg("simhash_neardup", lambda: textops.simhash_neardup(docs).count())
+        leg("fingerprint", lambda: textops.fingerprint(docs).count())
+        leg("dedup_exact", lambda: textops.dedup_exact(docs).count())
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        timings["ann_topk"] = _timed(lambda: ann.brute_force_topk(emb).count())
+        leg("ann_topk", lambda: ann.brute_force_topk(emb).count())
+        leg("lsh_topk", lambda: ann.lsh_topk(emb).count())
 
-        return timings, n_rows
+        timings = {k: _median(v) for k, v in samples.items()}
+        spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
+        return timings, spread, n_rows
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         spark.stop()
@@ -196,7 +211,7 @@ def main():
         run_scaling(sf_dir, sf)
         return
 
-    timings, n_rows = run_bench(cpus, sf_dir)
+    timings, spread, n_rows = run_bench(cpus, sf_dir)
     total = sum(timings.values())
     print(json.dumps({
         "metric": "pipeline_wall_sec",
@@ -204,9 +219,12 @@ def main():
         "unit": "sec",
         "sf": sf,
         "rows": n_rows,
+        "runs_per_leg": 3,
+        "aggregation": "median",
         "rows_per_sec_parse": round(n_rows / timings["parse_count"]),
         "rows_per_sec_e2e": round(n_rows / timings["parse_enrich_agg"]),
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "spread_sec": spread,
     }))
 
 

@@ -41,6 +41,9 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFram
     """Exact cosine top-k. Queries = the n_queries smallest vec_ids
     (deterministic); self-matches excluded. Output:
     (query_id, neighbor_id, rank, cos_sim)."""
+    from sparklog.textops import spread
+
+    emb = spread(emb)
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("_ce"),
@@ -97,6 +100,9 @@ def lsh_buckets(emb: DataFrame, n_bits: int = 4, n_tables: int = 6,
     More tables trade candidate volume for recall — the standard knob when
     the corpus is high-entropy (near-random embeddings bucket poorly in a
     single table)."""
+    from sparklog.textops import spread
+
+    emb = spread(emb)
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("table_id"),

@@ -18,6 +18,21 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row work has at least cluster parallelism.
+
+    A small input (one parquet file -> one split) would otherwise pin a
+    shingle/signature computation to a single core. The gate makes this a
+    no-op at scale: a 100 TB corpus already scans as ~10^5-10^6 splits, so
+    no repartition (and no shuffle) happens there — only undersized local
+    inputs get spread."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace token + char counts."""
     return docs.select(
@@ -126,9 +141,9 @@ _MH_B = [(0xC2B2AE3D ^ (j * 0x165667B1)) % _MH_P for j in range(MINHASH_PERMS)]
 def shingle_sets(docs: DataFrame, text_col: str = "text",
                  k: int = 5) -> DataFrame:
     """(doc_id, _sh) — distinct k-shingle sets; empty-set docs dropped."""
-    return docs.select("doc_id", _shingles(text_col, k).alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
+    return spread(docs).select(
+        "doc_id", _shingles(text_col, k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -202,11 +217,17 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # shuffle_hash: sort-merge would SORT rows carrying ~KB shingle arrays
+    # (measured 4x slower); hash join just shuffles them once. At 100 TB
+    # the shingle side is far bigger than the candidate side, so building
+    # the hash table on candidates is also the right cluster plan.
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"),
-                            F.col("_sh").alias("_sha")), "doc_a")
+                            F.col("_sh").alias("_sha")).hint("shuffle_hash"),
+                  "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"),
-                        F.col("_sh").alias("_shb")), "doc_b")
+                        F.col("_sh").alias("_shb")).hint("shuffle_hash"),
+              "doc_b")
     )
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
@@ -223,7 +244,7 @@ def ngram_jaccard(docs: DataFrame, k: int = 5) -> DataFrame:
     """Exact k-gram Jaccard for consecutive-doc_id pairs (the deterministic
     verification kernel the LSH pipelines reuse; standalone here so the
     oracle can check it end-to-end with DuckDB list functions)."""
-    sh = docs.select("doc_id", _shingles("text", k).alias("_s"))
+    sh = spread(docs).select("doc_id", _shingles("text", k).alias("_s"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
     inter = F.size(F.array_intersect("a._s", "b._s")).cast("double")
@@ -283,7 +304,7 @@ def _simhash_expr(col: str) -> str:
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select(
+    return spread(docs).select(
         "doc_id", F.expr(_simhash_expr(text_col)).alias("simhash")
     )
 
