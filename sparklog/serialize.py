@@ -79,5 +79,61 @@ def with_json(parsed: DataFrame, out_col: str = "json") -> DataFrame:
     return parsed.withColumn(out_col, json_col(parsed))
 
 
+def _jstr(col_sql: str) -> str:
+    """JSON-encode one STRING expression JVM-side, nulls kept.
+
+    Spark's to_json cannot emit a bare string, so we wrap the value in a
+    one-field struct — '{"v":<json>}' — and slice the prefix/suffix off.
+    Jackson's escaping matches json.dumps(ensure_ascii=False): quotes,
+    backslashes and control chars escaped, non-ASCII passed through raw
+    (asserted against the Python path in tests/test_serialize.py)."""
+    e = f"to_json(named_struct('v', {col_sql}))"
+    return (f"CASE WHEN {col_sql} IS NULL THEN 'null' "
+            f"ELSE substring({e}, 6, length({e}) - 6) END")
+
+
+def _jnum(col_sql: str) -> str:
+    return f"COALESCE(CAST({col_sql} AS STRING), 'null')"
+
+
+def _jenum(col_sql: str, names) -> str:
+    arr = "array(" + ", ".join(f"'{n}'" for n in names) + ")"
+    return (f"CASE WHEN {col_sql} IS NULL THEN 'null' "
+            f"ELSE concat('\"', element_at({arr}, {col_sql} + 1), '\"') END")
+
+
 def json_col(parsed: DataFrame) -> Column:
+    """serde-byte-identical JSON, fully JVM-side (whole-stage codegen).
+
+    Null fields are KEPT (serde emits "timestamp":null — Spark's plain
+    to_json would drop them, hence the field-by-field concat); enums
+    serialize as name strings; procid is the bare-int/string union; sd's
+    key order is the parser's sorted storage, which to_json preserves.
+    The pandas implementation (json_col_py) is retained as the golden
+    cross-check."""
+    procid = (
+        "CASE WHEN procid_pid IS NOT NULL THEN CAST(procid_pid AS STRING) "
+        f"WHEN procid_name IS NOT NULL THEN {_jstr('procid_name')} "
+        "ELSE 'null' END"
+    )
+    pieces = ", ".join([
+        "'{\"severity\":'", _jenum("severity", SEVERITY_NAMES),
+        "',\"facility\":'", _jenum("facility", FACILITY_NAMES),
+        "',\"version\":'", _jnum("version"),
+        "',\"timestamp\":'", _jnum("timestamp"),
+        "',\"timestamp_nanos\":'", _jnum("timestamp_nanos"),
+        "',\"hostname\":'", _jstr("hostname"),
+        "',\"appname\":'", _jstr("appname"),
+        "',\"procid\":'", procid,
+        "',\"msgid\":'", _jstr("msgid"),
+        "',\"sd\":'", "COALESCE(to_json(sd), '{}')",
+        "',\"msg\":'", _jstr("msg"),
+        "'}'",
+    ])
+    return F.expr(f"concat({pieces})")
+
+
+def json_col_py(parsed: DataFrame) -> Column:
+    """Reference implementation (Arrow-batched pandas): exact same bytes,
+    kept as the cross-check for the JVM path."""
     return to_json_udf(F.struct(*[F.col(c) for c in _JSON_FIELDS]))

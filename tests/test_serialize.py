@@ -60,3 +60,29 @@ def test_json_via_spark_udf_matches_local(spark):
             "severity", "facility", "version", "timestamp", "timestamp_nanos",
             "hostname", "appname", "procid", "msgid", "sd", "msg",
         ]
+
+
+def test_jvm_json_equals_pandas_json_at_sf(spark):
+    """The JVM concat/to_json path and the pandas reference path must be
+    byte-identical across every synthesized row INCLUDING corrupt ones
+    (null fields serialize as literal null, sd as {})."""
+    from sparklog import synth
+
+    parsed = parse_df(synth.lines_df(spark, "/root/testdata/sf0.001",
+                                     corrupt=True))
+    df = parsed.select(
+        SER.json_col(parsed).alias("jvm"),
+        SER.json_col_py(parsed).alias("py"),
+    )
+    diff = df.filter(F.col("jvm") != F.col("py")).count()
+    assert diff == 0
+
+
+def test_json_col_plan_is_jvm_only(spark):
+    from sparklog import synth
+
+    parsed = parse_df(synth.lines_df(spark, "/root/testdata/sf0.001"))
+    out = parsed.select(SER.json_col(parsed).alias("j"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the parse itself is MapInPandas; serialization must add no Python node
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
