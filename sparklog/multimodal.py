@@ -81,3 +81,112 @@ def extract_meta(pages: DataFrame, binary_col: str = "html") -> DataFrame:
             yield out
 
     return pages.select("doc_id", binary_col).mapInPandas(run, META_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_binary(pages: DataFrame, width: int, height: int,
+                  binary_col: str = "html") -> DataFrame:
+    """Decode -> resize -> re-encode plumbing (1 row in, 1 row out).
+
+    The decode/re-encode kernel is the stub (decode_binary); the
+    deterministic fake keeps output bytes a pure function of input bytes
+    so lineage/dedup over resized payloads stays testable. Swapping in a
+    real codec changes only the inner lambda."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"RSZ:{width}x{height}:".encode()
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": np.full(len(pdf), width, dtype="int32"),
+                "height": np.full(len(pdf), height, dtype="int32"),
+                # fake "resized" bytes: header + content hash + truncated
+                # payload — deterministic, size-bounded like a real resize
+                "resized": payloads.map(
+                    lambda b: header
+                    + _fnv1a_bytes(b or b"").to_bytes(8, "big")
+                    + (b or b"")[: width * height // 64]
+                ),
+            })
+
+    return pages.select("doc_id", binary_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_sec", T.DoubleType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(videos: DataFrame, fps: float = 1.0,
+                  binary_col: str = "html",
+                  duration_col: str | None = None) -> DataFrame:
+    """Frame sampling plumbing: ONE input row explodes into ceil(dur*fps)
+    output rows — the mapInPandas batch shape a real pyav sampler needs.
+    Fake duration = byte_len/1000 s when no duration column exists; fake
+    frames are content-hash-keyed slices (deterministic)."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for _, r in pdf.iterrows():
+                b = r[binary_col] or b""
+                dur = (float(r[duration_col]) if duration_col
+                       else len(b) / 1000.0)
+                n_frames = max(1, math.ceil(dur * fps))
+                h = _fnv1a_bytes(b)
+                for k in range(n_frames):
+                    rows.append((
+                        int(r["doc_id"]), k, k / fps,
+                        f"FRAME:{k}:".encode() + h.to_bytes(8, "big"),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ts_sec", "frame"]
+            )
+
+    cols = ["doc_id", binary_col] + ([duration_col] if duration_col else [])
+    return videos.select(*cols).mapInPandas(run, FRAME_SCHEMA)
+
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def embed_binary(pages: DataFrame, binary_col: str = "html",
+                 dim: int = EMBED_DIM) -> DataFrame:
+    """Feature-extraction plumbing: binary payload -> array<float> embedding
+    (vec_id, embedding), directly consumable by sparklog.ann. The encoder
+    is the stub (a real CLIP/wav2vec call goes in the inner loop); fake
+    features are seeded from the content hash so identical payloads embed
+    identically — which makes ann.embedding_neardup find exact dups."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            embs = []
+            for b in payloads:
+                rng = np.random.RandomState(
+                    _fnv1a_bytes(b or b"") & 0x7FFFFFFF
+                )
+                embs.append(rng.standard_normal(dim).astype("float32"))
+            yield pd.DataFrame({
+                "vec_id": pdf["doc_id"].astype("int64"),
+                "embedding": embs,
+            })
+
+    return pages.select("doc_id", binary_col).mapInPandas(run, EMBED_SCHEMA)

@@ -178,3 +178,53 @@ def test_multimodal_deterministic_across_partitioning(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_binary(b"\x89PNG")
+
+
+def test_resize_plumbing_deterministic(spark):
+    from sparklog import multimodal as MM
+    from sparklog import synth
+
+    pages = synth.pages_df(spark, "/root/testdata/sf0.001").limit(20)
+    out = MM.resize_binary(pages, 640, 480)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    r0 = next(iter(rows.values()))
+    assert r0["width"] == 640 and r0["height"] == 480
+    assert bytes(r0["resized"]).startswith(b"RSZ:640x480:")
+    # repartitioning must not change any output byte
+    again = {r["doc_id"]: bytes(r["resized"])
+             for r in MM.resize_binary(pages.repartition(7), 640, 480).collect()}
+    assert {k: bytes(v["resized"]) for k, v in rows.items()} == again
+
+
+def test_frame_sampling_explodes_rows(spark):
+    from sparklog import multimodal as MM
+
+    vids = spark.createDataFrame(
+        [(1, b"x" * 3500, 3.5), (2, b"y" * 900, 0.9), (3, None, 0.0)],
+        "doc_id LONG, html BINARY, dur DOUBLE",
+    )
+    out = MM.sample_frames(vids, fps=2.0, duration_col="dur").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r)
+    # ceil(3.5*2)=7, ceil(0.9*2)=2, empty payload still yields 1 frame
+    assert {k: len(v) for k, v in per.items()} == {1: 7, 2: 2, 3: 1}
+    assert [r["frame_idx"] for r in sorted(per[1], key=lambda r: r["frame_idx"])] == list(range(7))
+    assert per[1][0]["ts_sec"] == 0.0
+
+
+def test_embed_binary_feeds_ann(spark):
+    """Multimodal feature extraction plugs straight into the ANN operators:
+    identical payloads embed identically and surface as cosine-1 pairs."""
+    from sparklog import ann as ANN
+    from sparklog import multimodal as MM
+
+    pages = spark.createDataFrame(
+        [(i, (b"dup" if i < 2 else str(i).encode()) * 50) for i in range(30)],
+        "doc_id LONG, html BINARY",
+    )
+    emb = MM.embed_binary(pages)
+    assert emb.schema["embedding"].dataType.simpleString() == "array<float>"
+    pairs = ANN.embedding_neardup(emb, threshold=0.999).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 1)}
