@@ -77,3 +77,33 @@ def test_grok_unnamed_groups_use_real_indices(spark):
                types={"a": "int", "b": "int"})
     r = out.collect()[0]
     assert r["a"] == 12 and r["b"] == 34 and r["_grok_matched"]
+
+
+def test_grok_single_pass_equals_per_group(spark, access_logs):
+    """The 2-regex-eval rewrite path and the k+1-eval extraction path are
+    row-for-row identical, including non-matching rows and typed casts."""
+    fast = grok(access_logs, "raw", _PATTERN, single_pass=True) \
+        .orderBy("id").collect()
+    slow = grok(access_logs, "raw", _PATTERN, single_pass=False) \
+        .orderBy("id").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_grok_single_pass_regex_eval_count(spark, access_logs):
+    """Plan audit: exactly one regexp_replace and one rlike per row, not
+    one regexp_extract per group."""
+    out = grok(access_logs, "raw", _PATTERN, single_pass=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 1
+    assert "regexp_extract" not in plan
+
+
+def test_grok_inline_type_alias(spark):
+    """%{PRIM:name:type} three-part aliases expand AND cast (previously the
+    alias regex silently left the three-part form unexpanded)."""
+    df = spark.createDataFrame([(0, "200 0.25")], "id LONG, raw STRING")
+    out = grok(df, "raw", "%{INT:status:int} %{NUMBER:latency:double}")
+    r = out.collect()[0]
+    assert r["status"] == 200 and abs(r["latency"] - 0.25) < 1e-9
+    assert dict(out.dtypes)["status"] == "bigint"
+    assert dict(out.dtypes)["latency"] == "double"
