@@ -252,6 +252,13 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.lsh_topk(emb, n_queries=8, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted lists) ANN — the second scale path; rows-only
+    driver check (approximate by design), recall asserted in tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ANN.ivf_topk(emb, n_queries=8, k=5)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ANN.embedding_neardup(emb, threshold=0.9)
@@ -496,12 +503,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "json_serialize": q_json_serialize,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # SQL-escape the BPE alternation for embedding in a DuckDB literal
+    bpe = textops.BPE_TOKEN_RE.replace("'", "''")
     out = {
         "parse_fields": f"""
             SELECT doc_id,
@@ -578,9 +588,11 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             QUALIFY rnk <= 3
         """,
-        "token_count": """
+        "token_count": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{bpe}'))
+                        AS BIGINT) AS n_tokens_bpe,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,

@@ -142,6 +142,84 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 7,
+             train_fraction: float = 1.0) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the k-means scale path.
+
+    1. Train a coarse quantizer (pyspark.ml KMeans, optionally on a
+       sample) — centers are tiny (n_centroids x dim) and broadcast.
+    2. Assign every corpus vector to its nearest centroid: ONE pass, the
+       inverted lists are just a centroid_id column (at 100 TB this is
+       the partitioning key you'd also bucket the lake by).
+    3. Each query probes only its n_probe nearest centroids, so the
+       candidate join touches ~n_probe/n_centroids of the corpus instead
+       of all of it; exact cosine re-ranks candidates.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from sparklog.textops import spread
+
+    emb = spread(emb)
+    feats = emb.select(
+        "vec_id", "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("_f"),
+    )
+    train = feats if train_fraction >= 1.0 else feats.sample(
+        fraction=train_fraction, seed=seed
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_f",
+                   predictionCol="_c").fit(train)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("_c").alias("centroid_id"),
+        _norm("embedding").alias("_n"),
+    )
+    centers = model.clusterCenters()
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id INT, center ARRAY<DOUBLE>",
+    )
+    queries = assigned.join(
+        F.broadcast(emb.orderBy("vec_id").limit(n_queries).select("vec_id")),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qe"),
+        F.col("_n").alias("_qn"),
+    )
+    # squared L2 from query to every centroid (JVM fold), keep n_probe best
+    qc = queries.crossJoin(F.broadcast(centroids))
+    dist = F.expr(
+        "aggregate(zip_with(_qe, center, (x, y) -> (CAST(x AS DOUBLE) - y)"
+        " * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qe", "_qn", "centroid_id")
+    )
+    joined = assigned.join(
+        F.broadcast(probes),
+        (assigned["centroid_id"] == probes["centroid_id"])
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = (_dot("_qe", "embedding") / (F.col("_qn") * F.col("_n"))).alias("cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", F.col("vec_id").alias("neighbor_id"), sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
              n_bits: int = 4, n_tables: int = 6) -> DataFrame:
     """Approximate top-k: candidates limited to vectors sharing any LSH

@@ -33,11 +33,19 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs. Plain alternation — valid
+# in both Java regex (Spark) and RE2 (DuckDB oracle), no lookarounds.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token + char counts."""
+    """Whitespace tokens, BPE-ish regex tokens, and char counts."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+        .cast("long").alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars"),
     )
 

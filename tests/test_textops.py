@@ -154,3 +154,26 @@ def test_documents_ascii_safe_for_json_oracle(spark):
             | F.col("text").rlike("[^\\x20-\\x7e]")
         ).count()
         assert bad == 0, f"{sf}: {bad} docs break the verbatim-msg assumption"
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF with n_probe/n_centroids = 1/4 of the corpus partitions must
+    still recover most exact neighbors (and all of them for a query's own
+    cluster neighborhood)."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ANN.brute_force_topk(emb, n_queries=4, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ANN.ivf_topk(emb, n_queries=4, k=5,
+                                 n_centroids=8, n_probe=4).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ann_ivf_returns_k_rows_per_query(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    rows = ANN.ivf_topk(emb, n_queries=3, k=4, n_centroids=8, n_probe=3).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 5)) for v in per.values())
