@@ -129,41 +129,53 @@ _SESSION_SCHEMA = (
 
 
 def sessionize_batch(parsed: DataFrame,
-                     gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+                     gap_seconds: int = SESSION_GAP_SECONDS,
+                     bucket_seconds: int = 86400) -> DataFrame:
     """Batch sessionization as a custom grouped operator (applyInPandas):
-    per-hostname event streams split on gaps > gap_seconds. The streaming
-    twin (sparklog/streaming.sessionize) shares the semantics; the DuckDB
+    event streams split on gaps > gap_seconds. The streaming twin
+    (sparklog/streaming.sessionize) shares the semantics; the DuckDB
     oracle expresses the same thing with window functions, so the driver
-    gate cross-checks the Python operator against pure SQL."""
+    gate cross-checks the Python operator against pure SQL.
+
+    Skew-safe: the pandas kernel runs per (hostname, day-bucket) — the
+    Zipf-head host spreads over its active days instead of pinning one
+    task — and the shared boundary-merge pass stitches sessions that
+    cross bucket edges back together exactly."""
 
     def fn(pdf):
         import pandas as pd
 
         ts = pdf["timestamp"].sort_values().to_numpy()
         host = pdf["hostname"].iloc[0]
+        bkt = int(pdf["_bkt"].iloc[0])
         out = []
         start = last = int(ts[0])
         n = 1
         for t in ts[1:]:
             t = int(t)
             if t - last > gap_seconds:
-                out.append((host, start, last, n))
+                out.append((host, bkt, start, last, n))
                 start = last = t
                 n = 1
             else:
                 last = t
                 n += 1
-        out.append((host, start, last, n))
+        out.append((host, bkt, start, last, n))
         return pd.DataFrame(
-            out, columns=["hostname", "session_start", "session_end", "n_events"]
+            out,
+            columns=["hostname", "_bkt", "session_start", "session_end",
+                     "n_events"],
         )
 
-    events = parsed.filter(
-        F.col("parse_error").isNull()
-        & F.col("hostname").isNotNull()
-        & F.col("timestamp").isNotNull()
-    ).select("hostname", "timestamp")
-    return events.groupBy("hostname").applyInPandas(fn, _SESSION_SCHEMA)
+    events = _session_events(parsed).withColumn(
+        "_bkt", (F.col("timestamp") / bucket_seconds).cast("long")
+    )
+    sess1 = events.groupBy("hostname", "_bkt").applyInPandas(
+        fn,
+        "hostname STRING, _bkt LONG, session_start LONG, session_end LONG,"
+        " n_events LONG",
+    )
+    return _merge_boundary_sessions(sess1, gap_seconds)
 
 
 def _session_events(parsed: DataFrame) -> DataFrame:
@@ -174,46 +186,24 @@ def _session_events(parsed: DataFrame) -> DataFrame:
     ).select("hostname", "timestamp")
 
 
-def sessionize_scaled(parsed: DataFrame,
-                      gap_seconds: int = SESSION_GAP_SECONDS,
-                      bucket_seconds: int = 86400) -> DataFrame:
-    """Skew-safe two-phase sessionization, same semantics as
-    sessionize_batch but no task ever holds a whole hot hostname.
+def _merge_boundary_sessions(sess1: DataFrame,
+                             gap_seconds: int) -> DataFrame:
+    """Phase 2 shared by both sessionizers: stitch per-bucket sessions
+    back together across bucket edges.
 
-    Phase 1 sessionizes within (hostname, time-bucket) — the Zipf-head
-    host spreads over as many tasks as it has active days. Phase 2 takes
-    ONLY each bucket's first and last session per host (<= 2 rows per
-    host-day, tiny) and re-applies the same gap rule across buckets, so
-    sessions spanning bucket edges — including chains across empty
+    Takes ONLY each bucket's first and last session per host (<= 2 rows
+    per host-day, tiny) and re-applies the same gap rule across buckets,
+    so sessions spanning bucket edges — including chains across empty
     buckets — merge back exactly. Interior sessions are provably final
     (phase 1 already guarantees > gap to both neighbors inside a bucket)
-    and pass through untouched.
-    """
+    and pass through untouched."""
     from pyspark.sql import Window
 
-    events = _session_events(parsed).withColumn(
-        "_bkt", (F.col("timestamp") / bucket_seconds).cast("long")
-    )
-    w1 = Window.partitionBy("hostname", "_bkt").orderBy("timestamp")
-    lag_ts = F.lag("timestamp").over(w1)
-    brk = F.when(
-        lag_ts.isNull() | (F.col("timestamp") - lag_ts > gap_seconds), 1
-    ).otherwise(0)
-    sess1 = (
-        events.withColumn("_sid", F.sum(brk).over(
-            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("hostname", "_bkt", "_sid")
-        .agg(
-            F.min("timestamp").alias("session_start"),
-            F.max("timestamp").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
     wb = Window.partitionBy("hostname", "_bkt")
     sess1 = sess1.withColumn(
         "_edge",
-        (F.col("_sid") == F.min("_sid").over(wb))
-        | (F.col("_sid") == F.max("_sid").over(wb)),
+        (F.col("session_start") == F.min("session_start").over(wb))
+        | (F.col("session_start") == F.max("session_start").over(wb)),
     )
     interior = sess1.filter(~F.col("_edge")).select(
         "hostname", "session_start", "session_end", "n_events"
@@ -236,6 +226,38 @@ def sessionize_scaled(parsed: DataFrame,
         .select("hostname", "session_start", "session_end", "n_events")
     )
     return interior.unionByName(merged)
+
+
+def sessionize_scaled(parsed: DataFrame,
+                      gap_seconds: int = SESSION_GAP_SECONDS,
+                      bucket_seconds: int = 86400) -> DataFrame:
+    """Skew-safe two-phase sessionization, pure window functions (no
+    Python): phase 1 sessionizes within (hostname, time-bucket) — the
+    Zipf-head host spreads over as many tasks as it has active days —
+    and the shared phase 2 merges bucket-edge sessions back exactly.
+    Same semantics (and same DuckDB oracle) as sessionize_batch.
+    """
+    from pyspark.sql import Window
+
+    events = _session_events(parsed).withColumn(
+        "_bkt", (F.col("timestamp") / bucket_seconds).cast("long")
+    )
+    w1 = Window.partitionBy("hostname", "_bkt").orderBy("timestamp")
+    lag_ts = F.lag("timestamp").over(w1)
+    brk = F.when(
+        lag_ts.isNull() | (F.col("timestamp") - lag_ts > gap_seconds), 1
+    ).otherwise(0)
+    sess1 = (
+        events.withColumn("_sid", F.sum(brk).over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("hostname", "_bkt", "_sid")
+        .agg(
+            F.min("timestamp").alias("session_start"),
+            F.max("timestamp").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return _merge_boundary_sessions(sess1, gap_seconds)
 
 
 def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",

@@ -200,3 +200,19 @@ def test_sessionize_scaled_merges_across_buckets(spark):
         ("b", 86340, 88000, 3),
         ("c", 1000, 1000, 1),
     }
+
+
+def test_sessionize_batch_groups_by_host_and_bucket(spark):
+    """Skew audit: the pandas kernel's grouping key must be (hostname,
+    _bkt) — a hot host spreads over its active days, never one task."""
+    from sparklog import pipeline as PL
+    from sparklog import synth
+    from sparklog.udf import parse_df
+
+    parsed = parse_df(synth.lines_df(spark, "/root/testdata/sf0.001"))
+    plan = PL.sessionize_batch(parsed)._jdf.queryExecution() \
+        .analyzed().toString()
+    import re
+    m = re.search(r"FlatMapGroupsInPandas \[([^\]]*)\]", plan)
+    assert m, "FlatMapGroupsInPandas node missing"
+    assert "hostname" in m.group(1) and "_bkt" in m.group(1), m.group(1)
