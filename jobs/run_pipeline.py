@@ -70,8 +70,8 @@ def main() -> None:
             "doc_id", "text", "lang"
         )
         chunk_lines = synth.lines_from_docs(day_pages, corrupt=args.corrupt)
-        tagged = M.tag_partitions(chunk_lines)
-        parsed = parse_df(tagged)
+        # lineage tagging fused into the parse pass: ONE Python crossing
+        parsed = parse_df(chunk_lines, tag_lineage=True)
         # ONE parse per chunk: route_write, hourly_agg, partition_metrics
         # and the content fingerprint all consume the same persisted frame
         # (previously each re-executed synth -> parse, i.e. 4x the work)

@@ -36,10 +36,15 @@ def register_sql(spark: SparkSession, name: str = "parse_syslog") -> None:
     spark.udf.register(name, parse_syslog_udf)
 
 
-def parse_df(df: DataFrame, line_col: str = "line") -> DataFrame:
+def parse_df(df: DataFrame, line_col: str = "line",
+             tag_lineage: bool = False) -> DataFrame:
     """Parse a line column, keeping all other columns as passthrough.
 
-    Output: passthrough columns + the 13 PARSED_COLUMNS, flattened.
+    Output: passthrough columns + the 13 PARSED_COLUMNS, flattened; with
+    tag_lineage=True also (partition_id, bytes_in) — fused into the SAME
+    Arrow pass, so the lineage-tagged pipeline still crosses into Python
+    exactly once (a separate tag_partitions pass costs a second full
+    Arrow round-trip of every line).
 
     Uses mapInPandas rather than a struct-returning pandas UDF: Catalyst
     pushes downstream filters (e.g. the reject split) through a Project of
@@ -51,14 +56,27 @@ def parse_df(df: DataFrame, line_col: str = "line") -> DataFrame:
     from pyspark.sql import types as T
 
     passthrough = [c for c in df.columns if c != line_col]
-    schema = T.StructType(
-        [df.schema[c] for c in passthrough] + list(PARSED_SCHEMA.fields)
-    )
+    fields = [df.schema[c] for c in passthrough]
+    if tag_lineage:
+        fields += [
+            T.StructField("partition_id", T.IntegerType()),
+            T.StructField("bytes_in", T.LongType()),
+        ]
+    schema = T.StructType(fields + list(PARSED_SCHEMA.fields))
 
     def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if tag_lineage else None
         for pdf in batches:
             parsed = parse_lines(pdf[line_col])
             base = pdf[passthrough].reset_index(drop=True)
+            if tag_lineage:
+                base["partition_id"] = pid
+                base["bytes_in"] = [
+                    len(s.encode("utf-8")) if isinstance(s, str) else 0
+                    for s in pdf[line_col]
+                ]
             yield pd.concat([base, parsed], axis=1)
 
     return df.mapInPandas(run, schema)
