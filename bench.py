@@ -256,7 +256,11 @@ def main():
         return
 
     if "--scaling" in sys.argv:
-        run_scaling(sf_dir, sf)
+        def _opt(flag: str, default: int) -> int:
+            return (int(sys.argv[sys.argv.index(flag) + 1])
+                    if flag in sys.argv else default)
+
+        run_scaling(sf_dir, sf, lo=_opt("--lo", 8), hi=_opt("--hi", 32))
         return
 
     timings, spread, n_rows = run_bench(cpus, sf_dir)
