@@ -464,6 +464,11 @@ def _json_oracle() -> str:
     """
 
 
+_STOPWORD_LIST = (
+    "[" + ", ".join(f"'{w}'" for w in textops.QUALITY_STOPWORDS) + "]"
+)
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the engine works in unix seconds; timestamp RENDERING during
@@ -596,12 +601,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,
-        "quality_score": """
+        "quality_score": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
                    ROUND(CAST(length(text) AS DOUBLE)
                          / len(string_split(text, ' ')), 4) AS avg_word_len,
+                   ROUND(CAST(len(regexp_extract_all(text,
+                           '[^\\sA-Za-z0-9]')) AS DOUBLE)
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                           w -> list_contains({_STOPWORD_LIST}, w)))
+                           AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS stopword_ratio,
                    CASE WHEN length(text) >= 100
                          AND len(string_split(text, ' ')) >= 20
                         THEN 1 ELSE 0 END AS quality_ok

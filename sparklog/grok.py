@@ -27,6 +27,12 @@ GROK_PATTERNS: dict[str, str] = {
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
     "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?|ALERT)",
+    "HOSTNAME": r"(?:[A-Za-z0-9](?:[A-Za-z0-9-]{0,62})?\.)*[A-Za-z0-9](?:[A-Za-z0-9-]{0,62})?",
+    "URIPATH": r"/[^\s?#]*",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
+    "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}",
 }
 
 _ALIAS_RE = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")

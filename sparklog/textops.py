@@ -50,15 +50,34 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# stopwords for the quality heuristic (tiny, deterministic, shared with
+# the DuckDB oracle)
+QUALITY_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+                     "that", "it", "on", "for", "with"]
+
+_PUNCT_RE = r"[^\sA-Za-z0-9]"
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
-    """Cheap quality heuristics: length, word count, mean word length."""
+    """Quality heuristics: length, word count, mean word length,
+    punctuation ratio, stopword ratio — all JVM expressions."""
     words = F.size(F.split(F.col("text"), " "))
     chars = F.length("text")
+    punct = F.regexp_count(F.col("text"), F.lit(_PUNCT_RE))
+    stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda w: w.isin(*QUALITY_STOPWORDS),
+        )
+    )
     return docs.select(
         "doc_id",
         chars.cast("long").alias("n_chars"),
         words.cast("long").alias("n_words"),
         F.round(chars.cast("double") / words, 4).alias("avg_word_len"),
+        F.round(punct.cast("double") / F.greatest(chars, F.lit(1)), 4)
+        .alias("punct_ratio"),
+        F.round(stop.cast("double") / words, 4).alias("stopword_ratio"),
         F.when((chars >= 100) & (words >= 20), 1).otherwise(0).alias("quality_ok"),
     )
 

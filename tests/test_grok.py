@@ -107,3 +107,20 @@ def test_grok_inline_type_alias(spark):
     assert r["status"] == 200 and abs(r["latency"] - 0.25) < 1e-9
     assert dict(out.dtypes)["status"] == "bigint"
     assert dict(out.dtypes)["latency"] == "double"
+
+
+def test_grok_extended_primitives(spark):
+    df = spark.createDataFrame([(0,
+        'Feb  8 12:00:01 web-01.example.com ERROR '
+        '550e8400-e29b-41d4-a716-446655440000 /api/v1/items "hello \\"x\\""'
+    )], "id LONG, raw STRING")
+    out = grok(
+        df, "raw",
+        "%{SYSLOGTIMESTAMP:ts} %{HOSTNAME:host} %{LOGLEVEL:level} "
+        "%{UUID:req} %{URIPATH:path} %{QUOTEDSTRING:msg}",
+    )
+    r = out.collect()[0]
+    assert r["_grok_matched"]
+    assert r["host"] == "web-01.example.com" and r["level"] == "ERROR"
+    assert r["path"] == "/api/v1/items"
+    assert r["req"].startswith("550e8400")
