@@ -196,6 +196,26 @@ def q_grok_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic event-stream rollup: per (event_type, hour) count / sum /
+    max — the log-pipeline bread-and-butter aggregation over the events
+    table. value sums go through DECIMAL(18,2) so the aggregate is exact
+    and order-independent (a DOUBLE sum would be partial-agg-order
+    dependent and could hash-diverge from the oracle in the last ulp)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped operator (applyInPandas): per-hostname gap-based
     sessionization, cross-checked against a pure-SQL window formulation."""
@@ -498,6 +518,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize": q_sessionize,
         "sessionize_scaled": q_sessionize_scaled,
         "grok_events": q_grok_events,
+        "events_rollup": q_events_rollup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
@@ -658,6 +679,14 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY hostname, sid
         """,
         "lang_id": _lang_id_oracle(),
+        "events_rollup": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value,
+                   CAST(MAX(user_id) AS BIGINT) AS max_user
+            FROM events GROUP BY 1, 2
+        """,
         "fingerprint": r"""
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
