@@ -216,6 +216,19 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count + exact-percentile aggregation per event_type —
+    the dashboarding staples (count_distinct is a partial-agg shuffle on
+    (type, user); percentile is exact with linear interpolation, which
+    DuckDB's quantile_cont reproduces bit-for-bit)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped operator (applyInPandas): per-hostname gap-based
     sessionization, cross-checked against a pure-SQL window formulation."""
@@ -519,6 +532,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize_scaled": q_sessionize_scaled,
         "grok_events": q_grok_events,
         "events_rollup": q_events_rollup,
+        "events_user_stats": q_events_user_stats,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
@@ -686,6 +700,13 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value,
                    CAST(MAX(user_id) AS BIGINT) AS max_user
             FROM events GROUP BY 1, 2
+        """,
+        "events_user_stats": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50_value,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95_value
+            FROM events GROUP BY 1
         """,
         "fingerprint": r"""
             SELECT doc_id,
