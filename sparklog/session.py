@@ -34,6 +34,11 @@ def build_spark(app: str = "sparklog", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # map semantics must match the reference's BTreeMap last-write-wins
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # zstd for all parquet sinks: on this corpus it writes ~35% faster
+        # AND ~45% smaller than snappy (measured A/B on the route leg:
+        # 10-11s/133MB vs 15-19s/243MB for 2M rows) — at 100 TB the routed
+        # lake is IO-bound, so the denser codec wins both axes
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKLOG_DRIVER_MEM", "8g"))
     )
