@@ -105,3 +105,68 @@ def test_differential_fuzz():
             assert _norm(row[c]) == _norm(slow[c]), (
                 f"line {line!r} col {c}: fast={row[c]!r} slow={slow[c]!r}"
             )
+
+
+def test_differential_fuzz_structured():
+    """Adversarial STRUCTURED generator: boundary-length terms, odd offsets,
+    fraction widths 1-10, SD escapes at value edges, deep/duplicate SD —
+    fast path must equal the exact slow path on every one."""
+    import random
+
+    rng = random.Random(1337)
+
+    def term(maxlen):
+        k = rng.choice([0, 1, 2])
+        if k == 0:
+            return "-"
+        if k == 1:  # boundary length
+            return "x" * rng.choice([1, maxlen - 1, maxlen, maxlen + 1])
+        return "".join(rng.choice("-aZ9._!~") for _ in range(rng.randrange(1, 9)))
+
+    def ts():
+        k = rng.randrange(6)
+        if k == 0:
+            return "-"
+        frac = ""
+        if k >= 3:
+            frac = "." + "9" * rng.randrange(1, 11)  # 10 digits = error
+        off = rng.choice(["Z", "+00:00", "-05:00", "+25:59", "+26:00",
+                          "-04:90", "+0", "", "x"])
+        date = rng.choice(["2016-01-10", "2016-13-01", "2015-02-29",
+                           "2016-02-29", "2016-00-10"])
+        clock = rng.choice(["00:00:00", "23:59:59", "24:00:00",
+                            "00:60:00", "00:00:60"])
+        return f"{date}T{clock}{frac}{off}"
+
+    def sd():
+        k = rng.randrange(5)
+        if k == 0:
+            return "-"
+        parts = []
+        for _ in range(rng.randrange(1, 4)):
+            sid = rng.choice(["m", "meta", "ex@9", "meta"])  # dups likely
+            params = ""
+            for _ in range(rng.randrange(0, 3)):
+                val = rng.choice(['a', 'q\\"v', 'a\\\\b', 'br\\]kt', '',
+                                  'sp ace', 'e\\'])
+                params += f' k{rng.randrange(3)}="{val}"'
+            parts.append(f"[{sid}{params}]")
+        return "".join(parts)
+
+    lines = []
+    for _ in range(2000):
+        pri = rng.choice(["1", "191", "192", "0", "999", "12"])
+        ver = rng.choice(["1", "10", "0", "99"])
+        msg = rng.choice(["", " ", "hello world", " leading", "﻿tail"])
+        lines.append(
+            f"<{pri}>{ver} {ts()} {term(255)} {term(48)} {term(128)} "
+            f"{term(32)} {sd()}{msg}"
+        )
+    fast = P.parse_lines(pd.Series(lines))
+    for i, line in enumerate(lines):
+        slow = P._parse_slow(line)
+        row = fast.iloc[i].to_dict()
+        for c in S.PARSED_COLUMNS:
+            assert _norm(row[c]) == _norm(slow[c]), (
+                f"line {line!r} col {c}: fast={row[c]!r} slow={slow[c]!r}"
+            )
