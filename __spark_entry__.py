@@ -716,17 +716,25 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         # exhaustive all-pairs Jaccard: a green row proves the Spark LSH's
         # recall is 1.0 on the gate data, not merely candidate correctness
+        # size-ratio prefilter is provably lossless: jaccard >= t implies
+        # |A n B| >= t*|A u B|, and since |A n B| <= min(|A|,|B|) and
+        # |A u B| >= max(|A|,|B|), any qualifying pair has
+        # min >= t * max — so pruning the rest cannot drop a true pair
         "minhash_neardup": """
             WITH sh AS (
               SELECT doc_id,
                      list_distinct(list_transform(range(0, length(text) - 4),
                                                   i -> substr(text, i + 1, 5))) AS s
               FROM documents WHERE length(text) >= 5
+            ), shn AS (
+              SELECT doc_id, s, len(s) AS ns FROM sh
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-            FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+            FROM shn a JOIN shn b
+              ON b.doc_id > a.doc_id
+             AND least(a.ns, b.ns) >= 0.6 * greatest(a.ns, b.ns)
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
         """,
