@@ -72,10 +72,11 @@ def test_query_matches_oracle(spark, name):
 
 
 def test_all_queries_return_rows(spark):
-    """Every registered query (incl. rows-only ones) runs and has a stable
-    schema; discovery-type queries (near-dup mining) may match 0 rows."""
-    may_be_empty = {"minhash_neardup", "simhash", "dedup_exact",
-                    "embedding_neardup"}
+    """Every registered query runs, has a stable schema, AND returns rows
+    at the gate SF — a 0-row green is vacuous (the r2 verdict flagged
+    dedup_exact/embedding_neardup for exactly that; both now run over the
+    augmented corpus and must be non-empty)."""
+    may_be_empty: set[str] = set()
     for name, q in E.queries().items():
         df = q(spark, SF_CORRECT)
         n = df.count()

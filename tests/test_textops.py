@@ -92,15 +92,105 @@ def test_ann_brute_force_exact(spark):
     assert rows[0]["cos_sim"] > 0.99
 
 
-def test_ann_lsh_recall_vs_exact(spark):
+def test_ann_gate_configs_recall_is_one(spark):
+    """Regression guard for the driver gate: the pinned LSH_GATE/IVF_GATE
+    parameterizations must reproduce the EXACT top-k at sf0.01 — that is
+    what lets __spark_entry__ attach the exact DuckDB oracle to the two
+    approximate paths. If a code change drops recall below 1.0 here, the
+    driver row goes red; this test fails first and loudly."""
+    import __spark_entry__ as E
+
     emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+             for r in ANN.brute_force_topk(emb, n_queries=8, k=5).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+           for r in ANN.lsh_topk(emb, n_queries=8, k=5, **E.LSH_GATE).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+           for r in ANN.ivf_topk(emb, n_queries=8, k=5, **E.IVF_GATE).collect()}
+    assert lsh == exact, "LSH gate config no longer reproduces exact top-k"
+    assert ivf == exact, "IVF gate config no longer reproduces exact top-k"
+
+
+def _clustered_emb(spark, n=400, n_clusters=8, dim=32, noise=0.05):
+    """Deterministic clustered corpus: the realistic ANN case (real
+    embedding spaces are clustered; the sf0.01 gate vectors are
+    near-uniform, where recall ~= probed fraction for ANY method)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    cents = rng.normal(size=(n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in cents[i % n_clusters]
+             + noise * rng.normal(size=dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_ann_scale_paths_prune_hard_on_clustered_data(spark):
+    """On clustered data both scale paths reach recall 1.0 while probing a
+    small fraction: IVF probes 2/16 lists (12.5%); LSH uses 6-bit tables
+    (multiprobe fraction = 4*(6+1)/64 = 44% worst-case, far less realized
+    because same-cluster vectors share signatures)."""
+    emb = _clustered_emb(spark)
     exact = {(r["query_id"], r["neighbor_id"])
-             for r in ANN.brute_force_topk(emb, n_queries=4, k=5).collect()}
-    approx = {(r["query_id"], r["neighbor_id"])
-              for r in ANN.lsh_topk(emb, n_queries=4, k=5,
-                                    n_bits=4, n_tables=6).collect()}
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall too low: {recall}"
+             for r in ANN.brute_force_topk(emb, n_queries=6, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ANN.ivf_topk(emb, n_queries=6, k=5, n_centroids=16,
+                                 n_probe=2, quantizer="sample").collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in ANN.lsh_topk(emb, n_queries=6, k=5, n_bits=6,
+                                 n_tables=4, multiprobe=1).collect()}
+    assert len(exact & ivf) / len(exact) == 1.0
+    assert len(exact & lsh) / len(exact) == 1.0
+
+
+def test_lsh_auto_bits_bounds_candidate_fraction():
+    """The derived signature width keeps the expected probed fraction
+    under budget at EVERY corpus size (r2 critique: fixed 4-bit tables
+    probed ~37% of the corpus per query)."""
+    for n in (1_000, 1_000_000, 1_000_000_000):
+        b = ANN._auto_bits(n, ANN.LSH_TABLES, multiprobe=1)
+        frac = ANN.LSH_TABLES * (b + 1) / (1 << b)
+        assert frac <= ANN.LSH_TARGET_FRACTION, (n, b, frac)
+    # bucket-granularity bound kicks in at huge n
+    assert ANN._auto_bits(10**9, 4, 1) >= 17  # 1e9/4096 -> >=2^17 buckets
+    assert ANN._auto_bits(10**9, 4, 1) <= 24
+
+
+def test_lsh_measured_candidate_fraction_at_bench_sf(spark):
+    """Auto-derived params measured, not just modeled: at the bench-scale
+    embeddings the deduped candidate set per query must stay under 5% of
+    the corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    n_q = 8
+    cand = ANN._lsh_join(emb, n_queries=n_q, n_bits=None,
+                         n_tables=ANN.LSH_TABLES, multiprobe=1).count()
+    frac = cand / (n_q * n)
+    assert frac <= 0.05, f"candidate fraction {frac:.3f} exceeds 5%"
+
+
+def test_ivf_train_fraction_is_bounded():
+    """KMeans must never iterate over the full corpus (r2 critique:
+    train_fraction defaulted to 1.0). The derived fraction caps the
+    training set at ~IVF_MAX_TRAIN_ROWS regardless of corpus size."""
+    assert ANN.ivf_train_fraction(500) == 1.0
+    for n in (10**6, 10**9, 10**12):
+        f = ANN.ivf_train_fraction(n)
+        assert f * n <= ANN.IVF_MAX_TRAIN_ROWS * 1.001, (n, f)
+
+
+def test_ivf_kmeans_trains_on_bounded_sample(spark):
+    """End-to-end check that the default (train_fraction=None) path feeds
+    KMeans a bounded row count: the sampled training set for a corpus 4x
+    over the cap stays within ~10% of IVF_MAX_TRAIN_ROWS."""
+    n = ANN.IVF_MAX_TRAIN_ROWS * 4
+    corpus = spark.range(n).select(F.col("id").alias("vec_id"))
+    frac = ANN.ivf_train_fraction(n)
+    got = corpus.sample(fraction=frac, seed=7).count()
+    assert got <= ANN.IVF_MAX_TRAIN_ROWS * 1.1
 
 
 def test_minhash_lsh_one_shuffle_shape(spark, toy_docs):
