@@ -196,6 +196,69 @@ def q_grok_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-group grok over the synthesized RFC5424 line itself: 7 named
+# groups (2 typed) whose expected values all derive from the shared synth
+# arithmetic — the oracle-checkable way to prove the single-pass rewrite
+# (ONE regexp_replace + split instead of k+1 regexp_extracts) is
+# semantics-preserving, not just pytest-equal (r2 ask #5)
+_GROK_LINE_PAT = (
+    r"<%{INT:pri:int}>%{INT:ver:int} %{NOTSPACE:ts} %{NOTSPACE:host}"
+    r" %{NOTSPACE:app} %{NOTSPACE:proc} %{NOTSPACE:msgid} .*"
+)
+
+
+def _grok_line(spark: SparkSession, sf_dir: str, single_pass: bool) -> DataFrame:
+    from sparklog.grok import grok
+
+    _ensure_shipped(spark)
+    lines = synth.lines_df(spark, sf_dir)
+    out = grok(lines, "line", _GROK_LINE_PAT, single_pass=single_pass)
+    return out.select(
+        "doc_id", "pri", "ver", "ts", "host", "app", "proc", "msgid",
+        F.col("_grok_matched").cast("int").alias("matched"),
+    )
+
+
+def q_grok_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group grok (k regexp_extracts; Catalyst prunes unused groups)."""
+    return _grok_line(spark, sf_dir, single_pass=False)
+
+
+def q_grok_line_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass grok (2 regex evaluations total) — same oracle as
+    q_grok_line, so a green row proves output identity."""
+    return _grok_line(spark, sf_dir, single_pass=True)
+
+
+def _grok_line_oracle() -> str:
+    """Expected grok-group values straight from the synthesis arithmetic;
+    the timestamp string mirrors synth._ts_str via epoch-micros
+    make_timestamp (timezone-free, unlike to_timestamp+strftime)."""
+    base = (f"strftime(make_timestamp(CAST({R.WARC_SECS} AS BIGINT)"
+            " * 1000000), '%Y-%m-%dT%H:%M:%S')")
+    base_m5h = (f"strftime(make_timestamp((CAST({R.WARC_SECS} AS BIGINT)"
+                " - 18000) * 1000000), '%Y-%m-%dT%H:%M:%S')")
+    frac = "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    ts = f"""CASE doc_id % 5
+            WHEN 0 THEN {base} || 'Z'
+            WHEN 1 THEN {base} || '+00:00'
+            WHEN 2 THEN {base_m5h} || '-05:00'
+            WHEN 3 THEN {base} || '.' || {frac} || 'Z'
+            ELSE '-' END"""
+    return f"""
+        SELECT doc_id,
+               CAST({R.PRI} AS BIGINT) AS pri,
+               CAST(1 AS BIGINT) AS ver,
+               {ts} AS ts,
+               COALESCE({R.HOSTNAME}, '-') AS host,
+               COALESCE({R.APPNAME}, '-') AS app,
+               {R.PROCID_TERM} AS proc,
+               COALESCE({R.MSGID}, '-') AS msgid,
+               CAST(1 AS INT) AS matched
+        FROM documents
+    """
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic event-stream rollup: per (event_type, hour) count / sum /
     max — the log-pipeline bread-and-butter aggregation over the events
@@ -600,6 +663,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize": q_sessionize,
         "sessionize_scaled": q_sessionize_scaled,
         "grok_events": q_grok_events,
+        "grok_line": q_grok_line,
+        "grok_line_sp": q_grok_line_sp,
         "events_rollup": q_events_rollup,
         "events_user_stats": q_events_user_stats,
         "token_count": q_token_count,
@@ -843,4 +908,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # the two-phase skew-safe operator has identical semantics — same oracle
     out["sessionize_scaled"] = out["sessionize"]
+    # per-group and single-pass grok must produce IDENTICAL output
+    out["grok_line"] = _grok_line_oracle()
+    out["grok_line_sp"] = out["grok_line"]
     return out

@@ -124,7 +124,11 @@ def grok(df: DataFrame, col: str, pattern: str,
                        F.try_element_at(F.col("_grok_packed"), F.lit(pos + 1)))
             t = (types or {}).get(name)
             if t:
-                c = c.cast(_CASTS.get(t, t))
+                # try_cast, not cast: Spark 4 runs ANSI mode, where a typed
+                # group whose text doesn't fit (e.g. %{NUMBER:x:int} on
+                # '0.5', or '' from a non-participating optional group)
+                # would throw and kill the query; grok semantics want null
+                c = c.try_cast(_CASTS.get(t, t))
             cols.append(c.alias(name))
         base = df.withColumn("_grok_matched", matched).withColumn(
             "_grok_packed", packed
@@ -139,7 +143,7 @@ def grok(df: DataFrame, col: str, pattern: str,
         c = F.when(F.col("_grok_matched"), c)
         t = (types or {}).get(name)
         if t:
-            c = c.cast(_CASTS.get(t, t))
+            c = c.try_cast(_CASTS.get(t, t))  # ANSI-safe: bad fit -> null
         cols.append(c.alias(name))
     base = df.withColumn("_grok_matched", matched)
     out_cols = (list(df.columns) if keep else []) + cols + [F.col("_grok_matched")]

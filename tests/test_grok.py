@@ -124,3 +124,20 @@ def test_grok_extended_primitives(spark):
     assert r["host"] == "web-01.example.com" and r["level"] == "ERROR"
     assert r["path"] == "/api/v1/items"
     assert r["req"].startswith("550e8400")
+
+
+def test_grok_typed_cast_is_ansi_safe(spark):
+    """Spark 4 runs ANSI mode: a typed group whose text doesn't fit the
+    type (%{NUMBER:x:int} matching '0.5', or '' from a non-participating
+    optional group) must yield NULL, not a NumberFormatException that
+    kills the query — in BOTH extraction modes."""
+    df = spark.createDataFrame(
+        [(0, "v=0.5"), (1, "v=7"), (2, "v=")],
+        "id LONG, raw STRING",
+    )
+    pat = r"v=(?<x>[0-9.]*)"
+    for sp in (False, True):
+        rows = {r["id"]: r["x"]
+                for r in grok(df, "raw", pat, types={"x": "int"},
+                              single_pass=sp).collect()}
+        assert rows == {0: None, 1: 7, 2: None}, f"single_pass={sp}: {rows}"
