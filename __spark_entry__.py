@@ -417,6 +417,12 @@ def q_sessionize_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.sessionize_scaled(_parsed(spark, sf_dir))
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third sessionization twin: Spark's built-in session_window (pure
+    Catalyst, streaming-ready) — same semantics, same oracle."""
+    return PL.sessionize_native(_parsed(spark, sf_dir))
+
+
 def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """serde-byte-identical JSON encoding (rows-only check; exact strings
     are asserted against the reference's expected JSON in tests)."""
@@ -662,6 +668,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "facility_rank": q_facility_rank,
         "sessionize": q_sessionize,
         "sessionize_scaled": q_sessionize_scaled,
+        "sessionize_native": q_sessionize_native,
         "grok_events": q_grok_events,
         "grok_line": q_grok_line,
         "grok_line_sp": q_grok_line_sp,
@@ -906,8 +913,10 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
     }
-    # the two-phase skew-safe operator has identical semantics — same oracle
+    # the two-phase skew-safe operator and the built-in session_window
+    # twin have identical semantics — same oracle
     out["sessionize_scaled"] = out["sessionize"]
+    out["sessionize_native"] = out["sessionize"]
     # per-group and single-pass grok must produce IDENTICAL output
     out["grok_line"] = _grok_line_oracle()
     out["grok_line_sp"] = out["grok_line"]

@@ -260,6 +260,37 @@ def sessionize_scaled(parsed: DataFrame,
     return _merge_boundary_sessions(sess1, gap_seconds)
 
 
+def sessionize_native(parsed: DataFrame,
+                      gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN session_window — the
+    idiomatic Catalyst path (zero custom code, one MergingSessionsExec /
+    sort-based session aggregation, usable unchanged under Structured
+    Streaming with a watermark, where the state store shards per
+    (hostname, window)).
+
+    Boundary convention: our semantics (and the DuckDB oracle) MERGE at a
+    gap of exactly gap_seconds (`ts - lag > gap` breaks); session_window
+    merges only when the next event is strictly inside window_end =
+    last_ts + gap. Timestamps are integer seconds, so a gap duration of
+    gap_seconds + 1 makes the two conventions exactly equivalent.
+    Same oracle as sessionize_batch/sessionize_scaled.
+    """
+    events = _session_events(parsed).withColumn(
+        "_ts", F.timestamp_seconds(F.col("timestamp"))
+    )
+    return (
+        events.groupBy(
+            "hostname", F.session_window("_ts", f"{gap_seconds + 1} seconds")
+        )
+        .agg(
+            F.min("timestamp").cast("long").alias("session_start"),
+            F.max("timestamp").cast("long").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select("hostname", "session_start", "session_end", "n_events")
+    )
+
+
 def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
                    buckets: int = 16) -> None:
     """Bucketed table for shuffle-free co-located joins (north rule D6):

@@ -150,6 +150,110 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert r["session_end"] == 1452420600    # 10:10:00Z
 
 
+def test_stateful_sessionize_hot_host_matches_batch(spark, tmp_path):
+    """Skew case for the streaming sessionizer: a Zipf-head host with
+    hundreds of events per trigger (all funneled through its single state
+    key — the documented divergence from the batch twin) must still emit
+    exactly the batch operator's sessions once a later batch closes them."""
+    from sparklog import pipeline as PL
+    from sparklog.udf import parse_df
+
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    base = 1452420000  # 2016-01-10T10:00:00Z
+
+    def line(host: str, secs: int) -> str:
+        import datetime as dt
+
+        ts = dt.datetime.fromtimestamp(secs, dt.timezone.utc)
+        return f"<14>1 {ts.strftime('%Y-%m-%dT%H:%M:%S')}Z {host} app - - - m"
+
+    # hot host: 300 events a minute apart with one 2h hole -> 2 sessions;
+    # two cold hosts with a session each
+    lines1 = [line("hot", base + 60 * i) for i in range(150)]
+    lines1 += [line("hot", base + 7200 + 60 * 150 + 60 * i) for i in range(150)]
+    lines1 += [line("cold1", base), line("cold1", base + 600),
+               line("cold2", base + 120)]
+
+    def run_once():
+        parsed = ST.parse_stream(ST.read_line_stream(spark, in_dir))
+        q = (
+            ST.sessionize(parsed, gap_seconds=1800)
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", out_dir).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    with open(f"{in_dir}/a.txt", "w") as f:
+        f.write("\n".join(lines1) + "\n")
+    run_once()
+
+    # batch 2: one far-future event per host closes every open session
+    closers = [line(h, base + 10 * 86400) for h in ("hot", "cold1", "cold2")]
+    with open(f"{in_dir}/b.txt", "w") as f:
+        f.write("\n".join(closers) + "\n")
+    run_once()
+
+    got = {
+        (r["hostname"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    static = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lines1)], "doc_id LONG, line STRING"
+    )
+    want = {
+        (r["hostname"], r["session_start"], r["session_end"], r["n_events"])
+        for r in PL.sessionize_batch(parse_df(static)).collect()
+    }
+    assert got == want
+
+
+def test_streaming_native_session_window(spark, tmp_path):
+    """sessionize_stream_native (built-in session_window + watermark — the
+    recommended skew-safe streaming path): a session is emitted once the
+    watermark passes its close."""
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    def line(ts: str) -> str:
+        return f"<14>1 {ts} hostA app - - - m"
+
+    def run_once():
+        parsed = ST.parse_stream(ST.read_line_stream(spark, in_dir))
+        q = (
+            ST.sessionize_stream_native(parsed, gap_seconds=1800,
+                                        watermark="2 hours")
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", out_dir).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    for fname, stamps in (
+        ("a.txt", ["2016-01-10T10:00:00Z", "2016-01-10T10:10:00Z"]),
+        ("b.txt", ["2016-01-10T13:00:00Z"]),   # wm -> 11:00 after this batch
+        ("c.txt", ["2016-01-10T16:00:00Z"]),   # batch runs WITH wm 11:00
+    ):
+        with open(f"{in_dir}/{fname}", "w") as f:
+            f.write("\n".join(line(s) for s in stamps) + "\n")
+        run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r["hostname"], r["session_start"], r["session_end"], r["n_events"])
+           for r in rows}
+    # the 13:00 singleton is emitted too: after c.txt the watermark is
+    # 14:00 and Spark's no-data batch evicts every closed window past it;
+    # only the 16:00 session stays open in state
+    assert got == {("hostA", 1452420000, 1452420600, 2),
+                   ("hostA", 1452430800, 1452430800, 1)}
+
+
 def test_multimodal_meta_shapes(spark):
     pages = synth.pages_df(spark, SF_SMOKE)
     meta = MM.extract_meta(pages)
