@@ -119,7 +119,9 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
                 ok, _ = PL.split_rejects(parse_df(lines))
                 PL.route_write(PL.enrich(ok, spark, with_lang=False), out_dir)
 
-            leg("parse_enrich_route_write", route, n=max(2, runs - 1))
+            # the biggest leg gets the same sample count as the others —
+            # 2 samples made its median a mean and its spread meaningless
+            leg("parse_enrich_route_write", route)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -134,11 +136,16 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
         leg("dedup_exact", lambda: textops.dedup_exact(docs).count())
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         leg("ann_topk", lambda: ann.brute_force_topk(emb).count())
+        # scale-default parameterizations (auto-derived bits / centroids),
+        # not the recall-tuned gate configs
         leg("lsh_topk", lambda: ann.lsh_topk(emb).count())
+        leg("ivf_topk",
+            lambda: ann.ivf_topk(emb, quantizer="sample").count())
 
         timings = {k: _median(v) for k, v in samples.items()}
         spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
-        return timings, spread, n_rows
+        counts = {k: len(v) for k, v in samples.items()}
+        return timings, spread, counts, n_rows
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         spark.stop()
@@ -187,8 +194,10 @@ def run_scaling(sf_dir: str, sf: str, lo: int = 8, hi: int = 32,
     JVM thread AND a Python worker, so scheduling one task per core
     oversubscribes 2x; reserving 2 cpus per task matches the stage's true
     footprint — the setting you would ship for python-heavy stages.
-    Input is large (~8M lines) to amortize session fixed costs; each leg
-    warms up once and reports the best of 2 timed runs.
+    Input is ~4M lines (target_rows) to amortize session fixed costs;
+    each leg warms up once, then takes timed_runs=1 timed run — the
+    noise control is the 3 INTERLEAVED (lo, hi) pairs below, not
+    within-leg repetition.
     """
     import subprocess
 
@@ -267,7 +276,7 @@ def main():
         run_scaling(sf_dir, sf, lo=_opt("--lo", 4), hi=_opt("--hi", 16))
         return
 
-    timings, spread, n_rows = run_bench(cpus, sf_dir)
+    timings, spread, counts, n_rows = run_bench(cpus, sf_dir)
     total = sum(timings.values())
     print(json.dumps({
         "metric": "pipeline_wall_sec",
@@ -275,7 +284,7 @@ def main():
         "unit": "sec",
         "sf": sf,
         "rows": n_rows,
-        "runs_per_leg": 3,
+        "runs_per_leg": counts,
         "aggregation": "median",
         "rows_per_sec_parse": round(n_rows / timings["parse_count"]),
         "rows_per_sec_e2e": round(n_rows / timings["parse_enrich_agg"]),

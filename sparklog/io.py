@@ -12,10 +12,10 @@ The reference consumes one RFC 5424 line at a time from a socket/file
     partitions at file level, and field predicates push down to the
     parquet scan (both audited in tests/test_io.py).
 
-Scale posture: text/json/csv scans are splittable and parallel; doc_id is
-assigned per-line deterministically from (file, offset-in-file) via
-monotonically_increasing_id only when the envelope has no id — callers
-with a real id column should pass id_col.
+Scale posture: text/json/csv scans are splittable and parallel. Envelope
+sources carry a trusted id; raw text gets doc_id = xxhash64(file, line,
+occurrence) by default, which is stable across re-reads with any split
+layout (see read_syslog_text).
 """
 
 from __future__ import annotations
@@ -27,18 +27,39 @@ from sparklog.udf import parse_df
 
 
 def read_syslog_text(spark: SparkSession, path: str,
-                     id_col: str | None = None) -> DataFrame:
+                     stable_ids: bool = True) -> DataFrame:
     """Newline-delimited raw RFC 5424 files -> (doc_id, line).
 
-    Without a trusted id column, doc_id = monotonically_increasing_id():
-    unique and stable within one read (partition-prefixed), but NOT stable
-    across re-reads with different splits — pass id_col (or join lineage
-    later by content hash) when idempotent re-processing matters.
+    stable_ids=True (default): doc_id = xxhash64(file, line, occurrence),
+    where occurrence numbers repeats of the same line within a file. The
+    resulting (doc_id, line) SET is identical across re-reads regardless
+    of split count/order (identical lines are interchangeable, so their
+    occurrence order doesn't matter) — idempotent re-processing works.
+    Costs one shuffle on (file, line); at scale that key is as
+    well-distributed as the content itself.
+
+    stable_ids=False: doc_id = monotonically_increasing_id() — free, but
+    only stable within a single read (ids shift when the split layout
+    changes); use for one-shot scans. (A previous id_col parameter was
+    removed: spark.read.text yields a single value column, so there is
+    no envelope id to select — the JSON/CSV readers cover trusted ids.)
     """
-    df = spark.read.text(path).withColumnRenamed("value", "line")
-    if id_col:
-        return df.select(F.col(id_col).alias("doc_id"), "line")
-    return df.select(F.monotonically_increasing_id().alias("doc_id"), "line")
+    df = spark.read.text(path).select(
+        F.input_file_name().alias("_file"), F.col("value").alias("line")
+    )
+    if not stable_ids:
+        return df.select(
+            F.monotonically_increasing_id().alias("doc_id"), "line"
+        )
+    from pyspark.sql import Window
+
+    occ = F.row_number().over(
+        Window.partitionBy("_file", "line")
+        .orderBy(F.monotonically_increasing_id())
+    )
+    return df.select(
+        F.xxhash64("_file", "line", occ).alias("doc_id"), "line"
+    )
 
 
 def read_syslog_json(spark: SparkSession, path: str, line_field: str = "raw",

@@ -25,7 +25,12 @@ def spread(df: DataFrame) -> DataFrame:
     shingle/signature computation to a single core. The gate makes this a
     no-op at scale: a 100 TB corpus already scans as ~10^5-10^6 splits, so
     no repartition (and no shuffle) happens there — only undersized local
-    inputs get spread."""
+    inputs get spread.
+
+    Cost note: df.rdd.getNumPartitions() forces physical planning, so
+    call spread ONCE per source per operator (minhash_neardup reuses one
+    spread shingle frame for both the signature and verification legs —
+    it used to plan twice)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -173,10 +178,15 @@ def shingle_sets(docs: DataFrame, text_col: str = "text",
     ).filter(F.size("_sh") > 0)
 
 
-def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signature(docs: DataFrame | None = None, text_col: str = "text",
+                      *, sh: DataFrame | None = None) -> DataFrame:
     """doc_id + minhash signature (array of MINHASH_PERMS longs), all JVM:
-    sig[j] = min over shingles of ((a_j * x + b_j) mod p), x = h mod p."""
-    hashed = shingle_sets(docs, text_col).withColumn(
+    sig[j] = min over shingles of ((a_j * x + b_j) mod p), x = h mod p.
+    Pass a precomputed ``sh`` (from shingle_sets) to avoid re-planning
+    and re-spreading the source."""
+    if sh is None:
+        sh = shingle_sets(docs, text_col)
+    hashed = sh.withColumn(
         "_h", F.expr(f"transform(_sh, s -> pmod(xxhash64(s), {_MH_P}L))")
     )
     sig = F.array(
@@ -207,7 +217,7 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     """
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     sh = shingle_sets(docs)
-    sigs = minhash_signature(docs)
+    sigs = minhash_signature(sh=sh)
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -82,3 +82,31 @@ def test_parsed_lake_partitions_and_pushdown(spark, tmp_path):
         "PushedFilters: [", 1)[1].split("]")[0]
     # row counts conserve: every input row is in exactly one partition
     assert back.count() == parsed.count()
+
+
+def test_read_syslog_text_stable_ids_across_split_layouts(spark, tmp_path):
+    """Idempotent re-processing: the (doc_id, line) SET from a raw text
+    source must be identical no matter how the files are split — incl. a
+    duplicated line, which gets distinct occurrence-numbered ids."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lines_a = [f"<14>1 - hostA app {i} - - msg {i}" for i in range(200)]
+    lines_a.append(lines_a[0])  # duplicate line within the same file
+    (raw / "a.log").write_text("\n".join(lines_a) + "\n")
+    (raw / "b.log").write_text(
+        "\n".join(f"<14>1 - hostB app {i} - - msg {i}" for i in range(50)) + "\n"
+    )
+
+    def read_set(max_bytes: str):
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+        try:
+            df = IO.read_syslog_text(spark, str(raw))
+            return {(r["doc_id"], r["line"]) for r in df.collect()}
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    one_split = read_set("128m")
+    many_splits = read_set("2k")  # forces multiple splits per file
+    assert one_split == many_splits
+    assert len(one_split) == 251  # duplicate line kept as a distinct id
