@@ -417,6 +417,27 @@ def q_sessionize_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.sessionize_scaled(_parsed(spark, sf_dir))
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode roundtrip: deterministic PCM16 WAV payloads
+    are written per doc by the stdlib wave encoder and decoded back by
+    sparklog.multimodal.decode_binary (a genuine codec, not a fake byte
+    format). The oracle recomputes the structural invariants — byte_len
+    = 44-byte RIFF header + 2 bytes/sample, n_samples = 8000 + doc_id %
+    1000, rate — from arithmetic; rms/peak are pytest-covered."""
+    from sparklog import multimodal as MM
+
+    _ensure_shipped(spark)
+    docs = synth.load_documents(spark, sf_dir)
+    feats = MM.audio_features(MM.synth_audio_df(docs))
+    return feats.select(
+        "doc_id", "byte_len", "sample_rate", "n_samples",
+        # JVM-side division (not the UDF's rounded value) so the double
+        # is bit-identical to the oracle's CAST(n AS DOUBLE)/rate
+        (F.col("n_samples").cast("double") / F.col("sample_rate"))
+        .alias("duration_sec"),
+    )
+
+
 def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third sessionization twin: Spark's built-in session_window (pure
     Catalyst, streaming-ready) — same semantics, same oracle."""
@@ -687,6 +708,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "json_serialize": q_json_serialize,
+        "audio_meta": q_audio_meta,
     }
 
 
@@ -887,6 +909,15 @@ def oracle_sql() -> dict[str, str]:
              AND least(a.ns, b.ns) >= 0.6 * greatest(a.ns, b.ns)
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        """,
+        # structural invariants of the real WAV encode->decode roundtrip
+        "audio_meta": """
+            SELECT doc_id,
+                   CAST(44 + 2 * (8000 + doc_id % 1000) AS BIGINT) AS byte_len,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(8000 + doc_id % 1000 AS BIGINT) AS n_samples,
+                   CAST(8000 + doc_id % 1000 AS DOUBLE) / 16000 AS duration_sec
+            FROM documents
         """,
         "ann_topk": _ann_topk_oracle(),
         # lsh_topk / ivf_topk: gate params are tuned for recall 1.0 at

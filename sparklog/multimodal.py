@@ -1,14 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The pages table carries ``html BINARY`` (stand-in for image/audio/video
-payloads). Real decoders (PIL/ffmpeg) are not in this container, so the
-decode step is STUBBED (deterministic fake features / NotImplementedError),
-but the Spark-side plumbing is real and tested: schema, Arrow batch shape
+payloads). Image/video decoders (PIL/ffmpeg) are not in this container,
+so those decode paths are STUBBED (deterministic fake features /
+NotImplementedError) — but AUDIO decode is REAL: RIFF/WAVE payloads are
+encoded and decoded with the stdlib ``wave`` module + numpy (synth_wav /
+decode_binary / audio_features), end-to-end tested and driver-verified.
+The Spark-side plumbing is real throughout: schema, Arrow batch shape
 (mapInPandas over binary columns), and partition-stable determinism.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -37,16 +42,102 @@ def _fnv1a_bytes(b: bytes) -> int:
     return h
 
 
-def decode_binary(payload: bytes) -> np.ndarray:
-    """REAL decoder stub: the image/audio libs are not in this container.
+WAV_RATE = 16000
+WAV_AMPLITUDE = 0.5
 
-    At deployment this is the only function to replace (PIL.Image.open /
-    soundfile.read / pyav frame sampling); everything around it — the
-    mapInPandas batching, schema, and partitioning — is production-shaped.
-    """
+
+def synth_wav(doc_id: int, rate: int = WAV_RATE) -> bytes:
+    """Deterministic mono PCM16 WAV payload for a doc: 8000 + doc_id%1000
+    samples of a (220 + doc_id%440) Hz sine at amplitude 0.5, written by
+    the REAL stdlib encoder — so decode tests exercise a genuine codec
+    roundtrip, not a fake byte format."""
+    n = 8000 + doc_id % 1000
+    freq = 220.0 + (doc_id % 440)
+    t = np.arange(n, dtype=np.float64) / rate
+    pcm = (WAV_AMPLITUDE * np.sin(2 * np.pi * freq * t) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_binary(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode for audio: RIFF/WAVE -> (float32 mono samples in
+    [-1, 1], sample_rate), via the stdlib ``wave`` module + numpy — no
+    external codec needed. Image/video formats still raise: PIL/ffmpeg
+    are not in this container; at deployment those branches are the only
+    code to add (the mapInPandas batching, schema, and partitioning
+    around this function are production-shaped)."""
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw != 2:
+            raise NotImplementedError("only PCM16 WAV is supported")
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x, rate
     raise NotImplementedError(
-        "binary decode requires an image/audio codec not present in this "
-        "container; extract_meta uses deterministic fake features instead"
+        "image/video decode requires a codec not present in this "
+        "container (PIL/ffmpeg); WAV audio decodes for real"
+    )
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
+
+def audio_features(audio: DataFrame, binary_col: str = "wav") -> DataFrame:
+    """Real feature extraction over decoded audio: (doc_id, byte_len,
+    sample_rate, n_samples, duration, rms, peak) — the audio analog of
+    extract_meta, with an actual decoder in the loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf[binary_col]):
+                x, rate = decode_binary(b)
+                rows.append((
+                    int(did), len(b), rate, len(x),
+                    round(len(x) / rate, 4),
+                    round(float(np.sqrt(np.mean(x * x))), 4),
+                    round(float(np.max(np.abs(x))), 4),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "byte_len", "sample_rate", "n_samples",
+                "duration_sec", "rms", "peak",
+            ])
+
+    return audio.select("doc_id", binary_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+def synth_audio_df(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> (doc_id, wav BINARY): deterministic WAV payloads
+    synthesized per doc by the real encoder (mapInPandas; partitioning-
+    independent since payload is a pure function of doc_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "wav": [synth_wav(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id LONG, wav BINARY"
     )
 
 

@@ -279,9 +279,47 @@ def test_multimodal_deterministic_across_partitioning(spark):
     assert a == b
 
 
-def test_decode_stub_raises():
+def test_decode_image_still_stubbed():
+    """Image/video formats stay NotImplementedError — PIL/ffmpeg are
+    genuinely absent from this container."""
     with pytest.raises(NotImplementedError):
         MM.decode_binary(b"\x89PNG")
+
+
+def test_wav_decode_is_real():
+    """The audio path uses an actual codec: stdlib wave encode -> decode
+    roundtrip recovers sample count, rate, and signal shape (sine at
+    amplitude 0.5: rms ~ 0.5/sqrt(2), peak ~ 0.5)."""
+    import numpy as np
+
+    payload = MM.synth_wav(123)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert len(payload) == 44 + 2 * (8000 + 123 % 1000)
+    x, rate = MM.decode_binary(payload)
+    assert rate == MM.WAV_RATE
+    assert len(x) == 8000 + 123 % 1000
+    assert abs(float(np.sqrt(np.mean(x * x))) - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(float(np.max(np.abs(x))) - 0.5) < 0.01
+    # deterministic: same doc -> same bytes
+    assert MM.synth_wav(123) == payload
+
+
+def test_audio_features_through_spark(spark):
+    """mapInPandas over real WAV payloads: features match the numpy
+    ground truth computed outside Spark."""
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in (0, 7, 999)], "doc_id LONG")
+    rows = {r["doc_id"]: r
+            for r in MM.audio_features(MM.synth_audio_df(docs)).collect()}
+    for d in (0, 7, 999):
+        x, rate = MM.decode_binary(MM.synth_wav(d))
+        r = rows[d]
+        assert r["sample_rate"] == rate
+        assert r["n_samples"] == len(x)
+        assert r["byte_len"] == 44 + 2 * len(x)
+        assert r["rms"] == round(float(np.sqrt(np.mean(x * x))), 4)
+        assert r["peak"] == round(float(np.max(np.abs(x))), 4)
 
 
 def test_resize_plumbing_deterministic(spark):
