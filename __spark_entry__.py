@@ -365,6 +365,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_jaccard(synth.load_documents(spark, sf_dir))
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph (hash-min label propagation; every doc gets a
+    component_id, singletons included). Oracle = transitive closure via
+    DuckDB recursive CTE over the exhaustive pair set."""
+    return textops.neardup_components(synth.load_documents(spark, sf_dir))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ANN.brute_force_topk(emb, n_queries=8, k=5)
@@ -660,6 +668,20 @@ _STOPWORD_LIST = (
     "[" + ", ".join(f"'{w}'" for w in textops.QUALITY_STOPWORDS) + "]"
 )
 
+# shared minhash-oracle CTE body: distinct 5-char shingle sets + sizes.
+# The size-ratio prefilter used with it is provably lossless: jaccard >= t
+# implies |A n B| >= t*|A u B|; |A n B| <= min(|A|,|B|) and |A u B| >=
+# max(|A|,|B|), so any qualifying pair has min >= t * max — pruning the
+# rest cannot drop a true pair.
+_MINHASH_CTE_BODY = """sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, length(text) - 4),
+                                                  i -> substr(text, i + 1, 5))) AS s
+              FROM documents WHERE length(text) >= 5
+            ), shn AS (
+              SELECT doc_id, s, len(s) AS ns FROM sh
+            )"""
+
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,6 +722,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_components": q_neardup_components,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -888,19 +911,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         # exhaustive all-pairs Jaccard: a green row proves the Spark LSH's
         # recall is 1.0 on the gate data, not merely candidate correctness
-        # size-ratio prefilter is provably lossless: jaccard >= t implies
-        # |A n B| >= t*|A u B|, and since |A n B| <= min(|A|,|B|) and
-        # |A u B| >= max(|A|,|B|), any qualifying pair has
-        # min >= t * max — so pruning the rest cannot drop a true pair
-        "minhash_neardup": """
-            WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(range(0, length(text) - 4),
-                                                  i -> substr(text, i + 1, 5))) AS s
-              FROM documents WHERE length(text) >= 5
-            ), shn AS (
-              SELECT doc_id, s, len(s) AS ns FROM sh
-            )
+        "minhash_neardup": f"""
+            WITH {_MINHASH_CTE_BODY}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
@@ -909,6 +921,32 @@ def oracle_sql() -> dict[str, str]:
              AND least(a.ns, b.ns) >= 0.6 * greatest(a.ns, b.ns)
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        """,
+        # connected components over the SAME exhaustive pair set, computed
+        # by transitive closure (recursive CTE) — checks the Spark
+        # label-propagation loop end-to-end incl. singleton handling
+        "neardup_components": f"""
+            WITH RECURSIVE {_MINHASH_CTE_BODY}, pr AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM shn a JOIN shn b
+                ON b.doc_id > a.doc_id
+               AND least(a.ns, b.ns) >= 0.6 * greatest(a.ns, b.ns)
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pr
+              UNION ALL
+              SELECT doc_b AS u, doc_a AS v FROM pr
+            ), reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+            )
+            SELECT src AS doc_id,
+                   CAST(MIN(dst) AS BIGINT) AS component_id,
+                   CAST(CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS INT)
+                     AS is_canonical
+            FROM reach GROUP BY src
         """,
         # structural invariants of the real WAV encode->decode roundtrip
         "audio_meta": """

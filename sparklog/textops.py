@@ -277,6 +277,68 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
 
 
+def neardup_components(docs: DataFrame, threshold: float = 0.6,
+                       max_iters: int = 10) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    minhash near-dup pair graph — the step that turns pairwise matches
+    into keep/drop decisions (one canonical doc per cluster).
+
+    Algorithm: hash-min label propagation. Every doc starts labeled with
+    its own doc_id; each round every node takes the min of its own and
+    its neighbors' labels; converged when nothing changes. Near-dup
+    graphs are unions of small dense clusters, so rounds ~ cluster
+    diameter (1-2 in practice); max_iters bounds adversarial chains.
+    Each round is one equi-join + groupBy on the EDGE list (proportional
+    to near-dup pairs, not the corpus) plus a broadcast-size label join;
+    labels are localCheckpoint()ed per round so the plan stays flat and
+    the convergence count reuses the materialized result. At larger
+    diameters you would switch to alternating large-star/small-star
+    (same join shapes, provably O(log n) rounds).
+
+    Output: (doc_id, component_id = min doc_id in the component,
+    is_canonical) for EVERY doc — singletons are their own component.
+    """
+    pairs = minhash_neardup(docs, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("u", "v").localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("v"),
+                              F.col("label").alias("_vl")),
+                "v",
+            )
+            .groupBy("u").agg(F.min("_vl").alias("_nl"))
+            .select(F.col("u").alias("doc_id"), "_nl")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("_nl"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
 def ngram_jaccard(docs: DataFrame, k: int = 5) -> DataFrame:
     """Exact k-gram Jaccard for consecutive-doc_id pairs (the deterministic
     verification kernel the LSH pipelines reuse; standalone here so the

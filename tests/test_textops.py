@@ -267,3 +267,17 @@ def test_ann_ivf_returns_k_rows_per_query(spark):
     for r in rows:
         per.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 5)) for v in per.values())
+
+
+def test_neardup_components_transitive(spark, toy_docs):
+    """0 and 1 are exact dups, 2 is a near-dup of both -> one component
+    {0,1,2} with canonical 0; everything else is a singleton. Also
+    exercises convergence in <= 2 label-propagation rounds."""
+    rows = {r["doc_id"]: (r["component_id"], r["is_canonical"])
+            for r in TX.neardup_components(toy_docs).collect()}
+    assert rows[0] == (0, 1)
+    assert rows[1] == (0, 0)
+    assert rows[2] == (0, 0)
+    for d in (3, 4, 5):
+        assert rows[d] == (d, 1)
+    assert len(rows) == 6
