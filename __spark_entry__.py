@@ -373,6 +373,16 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.neardup_components(synth.load_documents(spark, sf_dir))
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning composition (quality gate + lang filter +
+    exact-dedup survivors) over the AUGMENTED corpus, so the in-pass
+    dedup is non-vacuous (every 7th doc has a copy -> n_copies = 2).
+    One scan + one md5-key shuffle; see textops.clean_corpus."""
+    return textops.clean_corpus(
+        _augmented_docs(synth.load_documents(spark, sf_dir))
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ANN.brute_force_topk(emb, n_queries=8, k=5)
@@ -460,9 +470,10 @@ def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("doc_id", serialize.json_col(p).alias("json"))
 
 
-def _lang_id_oracle() -> str:
+def _lang_id_oracle(src: str = "documents") -> str:
     """DuckDB mirror of textops.lang_id: same marker lists, same
-    set-intersection scoring (both engines dedup), same tie-break order."""
+    set-intersection scoring (both engines dedup), same tie-break order.
+    ``src`` lets composition oracles score an augmented CTE instead."""
     from sparklog.textops import _LANG_MARKERS
 
     langs = list(_LANG_MARKERS)
@@ -474,7 +485,7 @@ def _lang_id_oracle() -> str:
     arms = " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs)
     return f"""
         WITH w AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+          SELECT doc_id, string_split(lower(text), ' ') AS ws FROM {src}
         ), s AS (
           SELECT doc_id, {', '.join(score_cols)} FROM w
         )
@@ -723,6 +734,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_id": q_lang_id,
         "minhash_neardup": q_minhash_neardup,
         "neardup_components": q_neardup_components,
+        "clean_corpus": q_clean_corpus,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -888,6 +900,28 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY hostname, sid
         """,
         "lang_id": _lang_id_oracle(),
+        # quality + lang + dedup-survivor composition over the augmented
+        # corpus; lid scores the SAME augmented rows the Spark pass sees
+        "clean_corpus": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {DOC_AUG_OFFSET} AS doc_id, text
+              FROM documents WHERE doc_id % {DOC_AUG_STEP} = 0
+            ), lid AS (
+              SELECT * FROM ({_lang_id_oracle(src="aug")})
+            ), f AS (
+              SELECT a.doc_id, a.text
+              FROM aug a JOIN lid ON lid.doc_id = a.doc_id
+              WHERE length(a.text) >= 100
+                AND len(string_split(a.text, ' ')) >= 20
+                AND lid.pred_lang = 'en'
+            )
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   md5(text) AS text_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM f GROUP BY md5(text)
+        """,
         "events_rollup": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    CAST(COUNT(*) AS BIGINT) AS n,

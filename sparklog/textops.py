@@ -118,11 +118,13 @@ _LANG_MARKERS = {
 }
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-word language ID: score = |words ∩ markers| per language,
-    argmax wins (ties broken by language order). Pure JVM set ops."""
-    words = F.split(F.lower(F.col("text")), " ")
-    scored = docs.select("doc_id", words.alias("_w"))
+def with_lang_pred(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (pred_lang, score) to any frame with a text column —
+    marker-word language ID: score = |words ∩ markers| per language,
+    argmax wins (ties broken by language order). Pure JVM set ops; the
+    per-language scores get their own projection so each intersect is
+    evaluated once (CollapseProject keeps multiply-referenced aliases)."""
+    scored = df.withColumn("_w", F.split(F.lower(F.col(text_col)), " "))
     for lg, markers in _LANG_MARKERS.items():
         scored = scored.withColumn(
             f"_s_{lg}",
@@ -134,8 +136,44 @@ def lang_id(docs: DataFrame) -> DataFrame:
         pred = F.when(
             (F.col(f"_s_{lg}") == best_score) & (best_score > 0), F.lit(lg)
         ).otherwise(pred)
-    return scored.select(
-        "doc_id", pred.alias("pred_lang"), best_score.cast("int").alias("score")
+    return (
+        scored.withColumn("pred_lang", pred)
+        .withColumn("score", best_score.cast("int"))
+        .drop("_w", *[f"_s_{lg}" for lg in _LANG_MARKERS])
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, score) — see with_lang_pred."""
+    return with_lang_pred(docs.select("doc_id", "text")).select(
+        "doc_id", "pred_lang", "score"
+    )
+
+
+def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
+                 min_words: int = 20) -> DataFrame:
+    """The C4-style cleaning pass a training-data pipeline actually runs:
+    quality gate (length + word count) AND language filter AND exact-dup
+    removal (keep the lowest doc_id per identical text), composed as ONE
+    scan + ONE shuffle on the 16-byte md5 key — the filters are pure
+    projections fused into the scan (no joins between the component
+    operators), and only surviving rows reach the dedup exchange.
+
+    Output: (doc_id, text_md5, n_copies) — one row per surviving
+    canonical document."""
+    scored = with_lang_pred(docs)
+    f = scored.filter(
+        (F.length("text") >= min_chars)
+        & (F.size(F.split(F.col("text"), " ")) >= min_words)
+        & (F.col("pred_lang") == lang)
+    )
+    return (
+        f.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select("doc_id", "text_md5", "n_copies")
     )
 
 

@@ -281,3 +281,26 @@ def test_neardup_components_transitive(spark, toy_docs):
     for d in (3, 4, 5):
         assert rows[d] == (d, 1)
     assert len(rows) == 6
+
+
+def test_clean_corpus_composition(spark, toy_docs):
+    """Quality+lang+dedup composition: toy docs 0/1 are identical English
+    text but fail the length gate (<100 chars), so with relaxed gates they
+    dedup to one survivor and with default gates nothing survives."""
+    out = {r["doc_id"]: r["n_copies"]
+           for r in TX.clean_corpus(toy_docs, min_chars=10,
+                                    min_words=5).collect()}
+    assert out.get(0) == 2          # 0 and 1 merged, canonical 0
+    assert 1 not in out
+    assert 3 in out                 # english-ish filler passes relaxed gate
+    assert 4 not in out             # german
+    assert TX.clean_corpus(toy_docs).count() == 0  # default gates: too short
+
+
+def test_clean_corpus_is_one_scan_one_shuffle(spark, toy_docs):
+    """Plan audit: the composition must fuse the filters into the scan —
+    NO joins between the component operators, exactly one Exchange (the
+    16-byte md5 groupBy key)."""
+    plan = TX.clean_corpus(toy_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
