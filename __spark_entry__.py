@@ -373,6 +373,12 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.neardup_components(synth.load_documents(spark, sf_dir))
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/valid/test split: md5-prefix bucketing, stable
+    under re-crawls / repartitioning (eval never leaks into train)."""
+    return textops.split_assign(synth.load_documents(spark, sf_dir))
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4-style cleaning composition (quality gate + lang filter +
     exact-dedup survivors) over the AUGMENTED corpus, so the in-pass
@@ -735,6 +741,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "minhash_neardup": q_minhash_neardup,
         "neardup_components": q_neardup_components,
         "clean_corpus": q_clean_corpus,
+        "split_assign": q_split_assign,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -900,6 +907,19 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY hostname, sid
         """,
         "lang_id": _lang_id_oracle(),
+        # md5 hex strings compare identically in both engines, so the
+        # split thresholds are engine-portable string literals
+        "split_assign": f"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 8)
+                             < '{textops.SPLIT_BOUNDS[0][1]}'
+                          THEN '{textops.SPLIT_BOUNDS[0][0]}'
+                        WHEN substr(md5(text), 1, 8)
+                             < '{textops.SPLIT_BOUNDS[1][1]}'
+                          THEN '{textops.SPLIT_BOUNDS[1][0]}'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
         # quality + lang + dedup-survivor composition over the augmented
         # corpus; lid scores the SAME augmented rows the Spark pass sees
         "clean_corpus": f"""

@@ -103,6 +103,28 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# content-keyed split boundaries: md5 hex strings compare lexicographically
+# identically in Spark and DuckDB, so a prefix threshold is an engine-
+# portable, partitioning-independent bucketing. Content-keyed (not id-
+# keyed) on purpose: a re-crawled corpus with reassigned doc_ids keeps
+# every document in its split, so eval sets never leak into train.
+SPLIT_BOUNDS = [("valid", "0ccccccc"), ("test", "1999999a")]  # 5% / 5% / 90%
+
+
+def split_assign(docs: DataFrame, text_col: str = "text",
+                 salt: str = "") -> DataFrame:
+    """Deterministic train/valid/test assignment by content hash:
+    split = bucket of md5(salt || text)'s first 8 hex chars. Pure
+    projection (no shuffle); salt rotates the assignment without
+    touching the data."""
+    key = F.md5(F.concat(F.lit(salt), F.col(text_col)))
+    prefix = F.substring(key, 1, 8)
+    expr = F.lit("train")
+    for name, bound in reversed(SPLIT_BOUNDS):
+        expr = F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
+    return docs.select("doc_id", expr.alias("split"))
+
+
 # language-ID marker words (tiny per-language stopword sets; deterministic).
 # Covers every language schema.LANG_NAMES promises, so no language the
 # enrich dim knows about is unreachable by the classifier.

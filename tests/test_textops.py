@@ -304,3 +304,23 @@ def test_clean_corpus_is_one_scan_one_shuffle(spark, toy_docs):
     plan = TX.clean_corpus(toy_docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_split_assign_deterministic_and_reasonable(spark, toy_docs):
+    """Content-keyed splits: identical text -> identical split (docs 0/1);
+    assignment is partitioning-independent; salt rotates it."""
+    a = {r["doc_id"]: r["split"] for r in TX.split_assign(toy_docs).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in TX.split_assign(toy_docs.repartition(7)).collect()}
+    assert a == b
+    assert a[0] == a[1]  # same text, same split — re-crawl stability
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    frac = {r["split"]: r["n"] for r in TX.split_assign(docs)
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(frac.values())
+    assert frac["train"] / n > 0.8          # ~90% nominal
+    assert 0 < frac.get("valid", 0) < n * 0.15
+    salted = {r["doc_id"]: r["split"]
+              for r in TX.split_assign(docs, salt="v2").collect()}
+    plain = {r["doc_id"]: r["split"] for r in TX.split_assign(docs).collect()}
+    assert salted != plain
