@@ -359,10 +359,18 @@ def neardup_components(docs: DataFrame, threshold: float = 0.6,
     is_canonical) for EVERY doc — singletons are their own component.
     """
     pairs = minhash_neardup(docs, threshold).select("doc_a", "doc_b")
+    return components_from_pairs(docs.select("doc_id"), pairs, max_iters)
+
+
+def components_from_pairs(nodes: DataFrame, pairs: DataFrame,
+                          max_iters: int = 10) -> DataFrame:
+    """Hash-min label propagation over an undirected pair list — the
+    reusable core of neardup_components (see its docstring for the scale
+    analysis). nodes: (doc_id); pairs: (doc_a, doc_b)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("u", "v").localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(max_iters):
         nbr_min = (
             edges.join(

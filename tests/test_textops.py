@@ -324,3 +324,36 @@ def test_split_assign_deterministic_and_reasonable(spark, toy_docs):
               for r in TX.split_assign(docs, salt="v2").collect()}
     plain = {r["doc_id"]: r["split"] for r in TX.split_assign(docs).collect()}
     assert salted != plain
+
+
+def test_components_property_vs_union_find(spark):
+    """Property check for the iterative label-propagation core: on random
+    graphs (incl. chains longer than one hop) the Spark result must equal
+    a reference union-find, for several seeded shapes."""
+    import random
+
+    for seed, n, m in ((1, 60, 40), (2, 80, 15), (3, 50, 80)):
+        rng = random.Random(seed)
+        pairs = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(m)})
+        # reference union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: min(u for u in range(n) if find(u) == find(v))
+                for v in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+        pdf = spark.createDataFrame(pairs or [(0, 0)], "doc_a LONG, doc_b LONG")
+        got = {r["doc_id"]: r["component_id"]
+               for r in TX.components_from_pairs(nodes, pdf).collect()}
+        assert got == want, f"seed={seed}"
