@@ -373,6 +373,12 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.neardup_components(synth.load_documents(spark, sf_dir))
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage (OOV) quality signal vs the corpus top-1000
+    vocab; distributed top-k + broadcast membership join."""
+    return textops.oov_rate(synth.load_documents(spark, sf_dir), k=1000)
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-keyed train/valid/test split: md5-prefix bucketing, stable
     under re-crawls / repartitioning (eval never leaks into train)."""
@@ -742,6 +748,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "neardup_components": q_neardup_components,
         "clean_corpus": q_clean_corpus,
         "split_assign": q_split_assign,
+        "oov_rate": q_oov_rate,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -919,6 +926,32 @@ def oracle_sql() -> dict[str, str]:
                           THEN '{textops.SPLIT_BOUNDS[1][0]}'
                         ELSE 'train' END AS split
             FROM documents
+        """,
+        # top-k vocab with (count desc, token) tie-break is deterministic
+        # and identical cross-engine; oov_rate stays a raw IEEE division
+        "oov_rate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS tok
+              FROM documents
+            ), cnt AS (
+              SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ), vocab AS (
+              SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 1000
+            ), per AS (
+              SELECT t.doc_id,
+                     COUNT(*) AS nt,
+                     SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS no
+              FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.nt, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.no, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN COALESCE(p.nt, 0) = 0 THEN NULL
+                        ELSE CAST(p.no AS DOUBLE) / p.nt END AS oov_rate
+            FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         """,
         # quality + lang + dedup-survivor composition over the augmented
         # corpus; lid scores the SAME augmented rows the Spark pass sees

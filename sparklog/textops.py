@@ -125,6 +125,59 @@ def split_assign(docs: DataFrame, text_col: str = "text",
     return docs.select("doc_id", expr.alias("split"))
 
 
+def vocab_topk(docs: DataFrame, k: int = 1000,
+               text_col: str = "text") -> DataFrame:
+    """Top-k corpus vocabulary by frequency (ties broken by token text —
+    deterministic and engine-portable). orderBy+limit compiles to
+    TakeOrderedAndProject: a DISTRIBUTED per-partition top-k merged at
+    the driver — no global sort, no single-task rank. At 100 TB you
+    would feed this a sample; the shape stays the same."""
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(k)
+        .select("tok")
+    )
+
+
+def oov_rate(docs: DataFrame, k: int = 1000,
+             text_col: str = "text") -> DataFrame:
+    """Vocabulary-coverage quality signal (the RefinedWeb-style filter):
+    per-doc fraction of tokens OUTSIDE the corpus top-k vocabulary.
+    Plan: one vocab aggregation (16-byte-ish token keys), then explode ->
+    BROADCAST membership join (vocab is tiny) -> one re-agg shuffle on
+    doc_id. oov_rate is a raw IEEE division so the DuckDB oracle is
+    bit-identical; docs with no tokens get NULL."""
+    vocab = vocab_topk(docs, k, text_col).withColumn("_in", F.lit(1))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("_no"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_nt", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("_no", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("_nt", F.lit(0)) == 0, F.lit(None).cast("double")
+            ).otherwise(F.col("_no").cast("double") / F.col("_nt"))
+            .alias("oov_rate"),
+        )
+    )
+
+
 # language-ID marker words (tiny per-language stopword sets; deterministic).
 # Covers every language schema.LANG_NAMES promises, so no language the
 # enrich dim knows about is unreachable by the classifier.

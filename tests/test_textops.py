@@ -357,3 +357,22 @@ def test_components_property_vs_union_find(spark):
         got = {r["doc_id"]: r["component_id"]
                for r in TX.components_from_pairs(nodes, pdf).collect()}
         assert got == want, f"seed={seed}"
+
+
+def test_oov_rate_toy_and_plan(spark):
+    """Known-vocab corpus: with k=2 the top vocab is {'a','b'} (ties to
+    text order), so doc 1's 'z' tokens are OOV; empty doc -> NULL rate.
+    Plan audit: distributed top-k (TakeOrderedAndProject) + broadcast
+    membership join — no global sort, no shuffled vocab join."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a z z b"), (2, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = TX.oov_rate(docs, k=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_oov"] == 0 and rows[0]["oov_rate"] == 0.0
+    assert rows[1]["n_oov"] == 2 and rows[1]["oov_rate"] == 0.5
+    assert rows[2]["n_tokens"] == 0 and rows[2]["oov_rate"] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
