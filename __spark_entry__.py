@@ -279,6 +279,15 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) volume z-scores + anomaly flags; all float
+    math derives from exact integer sums, so the oracle is bit-identical."""
+    from sparklog import eventops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eventops.rate_anomalies(ev)
+
+
 def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count + exact-percentile aggregation per event_type —
     the dashboarding staples (count_distinct is a partial-agg shuffle on
@@ -740,6 +749,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "grok_line_sp": q_grok_line_sp,
         "events_rollup": q_events_rollup,
         "events_user_stats": q_events_user_stats,
+        "rate_anomalies": q_rate_anomalies,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
@@ -989,6 +999,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 4) AS p50_value,
                    ROUND(quantile_cont(value, 0.95), 4) AS p95_value
             FROM events GROUP BY 1
+        """,
+        # all float inputs are exact BIGINT sums -> identical IEEE
+        # mean/var/z expressions on both engines
+        "rate_anomalies": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), stats AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(n) AS BIGINT) AS s1,
+                     CAST(SUM(n * n) AS BIGINT) AS s2
+              FROM hourly GROUP BY 1
+            )
+            SELECT h.event_type, h.hour, h.n,
+                   CASE WHEN sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                                  - (CAST(s.s1 AS DOUBLE) / s.k)
+                                    * (CAST(s.s1 AS DOUBLE) / s.k)) > 0
+                        THEN (CAST(h.n AS DOUBLE)
+                              - CAST(s.s1 AS DOUBLE) / s.k)
+                             / sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                                    - (CAST(s.s1 AS DOUBLE) / s.k)
+                                      * (CAST(s.s1 AS DOUBLE) / s.k))
+                        END AS zscore,
+                   CASE WHEN abs(COALESCE(
+                          CASE WHEN sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                                         - (CAST(s.s1 AS DOUBLE) / s.k)
+                                           * (CAST(s.s1 AS DOUBLE) / s.k)) > 0
+                               THEN (CAST(h.n AS DOUBLE)
+                                     - CAST(s.s1 AS DOUBLE) / s.k)
+                                    / sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                                           - (CAST(s.s1 AS DOUBLE) / s.k)
+                                             * (CAST(s.s1 AS DOUBLE) / s.k))
+                               END, 0.0)) > 3.0
+                        THEN 1 ELSE 0 END AS is_anomaly
+            FROM hourly h JOIN stats s ON s.event_type = h.event_type
         """,
         "fingerprint": r"""
             SELECT doc_id,

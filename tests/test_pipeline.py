@@ -216,3 +216,36 @@ def test_sessionize_batch_groups_by_host_and_bucket(spark):
     m = re.search(r"FlatMapGroupsInPandas \[([^\]]*)\]", plan)
     assert m, "FlatMapGroupsInPandas node missing"
     assert "hostname" in m.group(1) and "_bkt" in m.group(1), m.group(1)
+
+
+def test_rate_anomalies_flags_spike(spark):
+    """Constructed series: type 'a' has 20 quiet hours (n=10) and one
+    50x spike hour -> only the spike is flagged (note a single outlier
+    among k hours has z <= sqrt(k-1), so k must exceed 10 for |z| > 3);
+    a constant-rate type has sd=0 -> NULL z, never flagged. Stats join
+    must be broadcast."""
+    import datetime as dt
+
+    from sparklog import eventops
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for h in range(21):
+        n = 500 if h == 5 else 10
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), "a"))
+            eid += 1
+    for h in range(10):
+        for i in range(7):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), "flat"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, event_type STRING")
+    out = eventops.rate_anomalies(ev)
+    got = {(r["event_type"], r["hour"].hour): (r["is_anomaly"], r["zscore"])
+           for r in out.collect()}
+    flagged = {k for k, v in got.items() if v[0] == 1}
+    assert flagged == {("a", 5)}
+    assert all(v[1] is None for k, v in got.items() if k[0] == "flat")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
