@@ -122,6 +122,23 @@ def sessionize(parsed: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> Dat
     )
 
 
+def dedup_stream(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Cross-batch duplicate suppression for retransmitted log lines
+    (UDP syslog re-sends, at-least-once collectors): keep the first
+    occurrence of (hostname, timestamp, msg) seen within the watermark
+    horizon. dropDuplicatesWithinWatermark keeps state only until the
+    watermark passes each key — bounded state, unlike dropDuplicates,
+    whose streaming state grows forever; the horizon is exactly the
+    window in which a retransmit can arrive."""
+    events = parsed.filter(
+        F.col("parse_error").isNull() & F.col("timestamp").isNotNull()
+    ).withColumn("event_ts", F.timestamp_seconds(F.col("timestamp")))
+    return (
+        events.withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["hostname", "timestamp", "msg"])
+    )
+
+
 def sessionize_stream_native(parsed: DataFrame,
                              gap_seconds: int = SESSION_GAP_SECONDS,
                              watermark: str = "2 hours") -> DataFrame:

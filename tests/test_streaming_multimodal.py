@@ -370,3 +370,40 @@ def test_embed_binary_feeds_ann(spark):
     assert emb.schema["embedding"].dataType.simpleString() == "array<float>"
     pairs = ANN.embedding_neardup(emb, threshold=0.999).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_dedup_stream_suppresses_cross_batch_retransmits(spark, tmp_path):
+    """A line retransmitted in a later micro-batch (within the watermark
+    horizon) must be emitted exactly once; distinct lines all survive."""
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    def line(ts: str, msg: str) -> str:
+        return f"<14>1 {ts} hostA app - - - {msg}"
+
+    def run_once():
+        parsed = ST.parse_stream(ST.read_line_stream(spark, in_dir))
+        q = (
+            ST.dedup_stream(parsed, watermark="1 hour")
+            .select("hostname", "timestamp", "msg")
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", out_dir).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    with open(f"{in_dir}/a.txt", "w") as f:
+        f.write(line("2016-01-10T10:00:00Z", "m1") + "\n")
+        f.write(line("2016-01-10T10:05:00Z", "m2") + "\n")
+        f.write(line("2016-01-10T10:00:00Z", "m1") + "\n")  # in-batch dup
+    run_once()
+    with open(f"{in_dir}/b.txt", "w") as f:
+        f.write(line("2016-01-10T10:00:00Z", "m1") + "\n")  # cross-batch dup
+        f.write(line("2016-01-10T10:10:00Z", "m3") + "\n")
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    msgs = sorted(r["msg"] for r in rows)
+    assert msgs == ["m1", "m2", "m3"]
