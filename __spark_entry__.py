@@ -382,6 +382,31 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.neardup_components(synth.load_documents(spark, sf_dir))
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup over the pages table (the Common-Crawl staple:
+    domain-level doc counts / volume for blocklists and sampling). The
+    domain is extracted with a JVM regexp, NOT parse_url: parse_url
+    follows RFC 3986 and returns NULL for a registered name starting
+    with '-' (our host pool deliberately contains one, mirroring
+    reference parser.rs:623-639) — a blocklist pipeline must see such
+    hosts, not drop them. The oracle recomputes the domain from the
+    same synthesis arithmetic, verifying the url build -> extract
+    roundtrip exactly."""
+    pages = synth.pages_df(spark, sf_dir)
+    return (
+        pages.select(
+            F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+            .alias("domain"),
+            F.length("text").alias("_chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage (OOV) quality signal vs the corpus top-1000
     vocab; distributed top-k + broadcast membership join."""
@@ -759,6 +784,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clean_corpus": q_clean_corpus,
         "split_assign": q_split_assign,
         "oov_rate": q_oov_rate,
+        "domain_stats": q_domain_stats,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -936,6 +962,14 @@ def oracle_sql() -> dict[str, str]:
                           THEN '{textops.SPLIT_BOUNDS[1][0]}'
                         ELSE 'train' END AS split
             FROM documents
+        """,
+        # domain = the synthesized url host, straight from the shared
+        # arithmetic — checks the url build -> parse_url roundtrip
+        "domain_stats": f"""
+            SELECT {R.HOST} AS domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
         """,
         # top-k vocab with (count desc, token) tie-break is deterministic
         # and identical cross-engine; oov_rate stays a raw IEEE division
