@@ -407,6 +407,29 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most K docs per domain, chosen by
+    deterministic content-independent hash order (md5 of the doc_id
+    string — identical in both engines, so the oracle reproduces the
+    exact survivor set). The anti-spam rebalancer every webtext corpus
+    applies so one hot domain can't dominate training data. One window
+    over the domain key; at 100 TB this is a single shuffle on domain
+    with AQE skew splitting, or a groupBy+min_by(K) rewrite."""
+    from pyspark.sql import Window
+
+    K = 20
+    pages = synth.pages_df(spark, sf_dir)
+    domain = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        pages.select("doc_id", domain.alias("domain"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= K)
+    )
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage (OOV) quality signal vs the corpus top-1000
     vocab; distributed top-k + broadcast membership join."""
@@ -785,6 +808,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "split_assign": q_split_assign,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
+        "domain_balance": q_domain_balance,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -970,6 +994,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
+        """,
+        # per-domain cap by md5(doc_id) order — identical strings sort
+        # identically in both engines, doc_id breaks (impossible) ties
+        "domain_balance": f"""
+            WITH d AS (
+              SELECT doc_id, {R.HOST} AS domain FROM documents
+            )
+            SELECT doc_id, domain,
+                   CAST(row_number() OVER (
+                     PARTITION BY domain
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INT) AS rnk
+            FROM d
+            QUALIFY rnk <= 20
         """,
         # top-k vocab with (count desc, token) tie-break is deterministic
         # and identical cross-engine; oov_rate stays a raw IEEE division
