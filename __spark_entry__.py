@@ -1087,24 +1087,27 @@ def oracle_sql() -> dict[str, str]:
               FROM hourly GROUP BY 1
             )
             SELECT h.event_type, h.hour, h.n,
-                   CASE WHEN sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                   CASE WHEN sqrt(greatest(CAST(s.s2 AS DOUBLE) / s.k
                                   - (CAST(s.s1 AS DOUBLE) / s.k)
-                                    * (CAST(s.s1 AS DOUBLE) / s.k)) > 0
+                                    * (CAST(s.s1 AS DOUBLE) / s.k), 0.0)) > 0
                         THEN (CAST(h.n AS DOUBLE)
                               - CAST(s.s1 AS DOUBLE) / s.k)
-                             / sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                             / sqrt(greatest(CAST(s.s2 AS DOUBLE) / s.k
                                     - (CAST(s.s1 AS DOUBLE) / s.k)
-                                      * (CAST(s.s1 AS DOUBLE) / s.k))
+                                      * (CAST(s.s1 AS DOUBLE) / s.k), 0.0))
                         END AS zscore,
                    CASE WHEN abs(COALESCE(
-                          CASE WHEN sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                          CASE WHEN sqrt(greatest(CAST(s.s2 AS DOUBLE) / s.k
                                          - (CAST(s.s1 AS DOUBLE) / s.k)
-                                           * (CAST(s.s1 AS DOUBLE) / s.k)) > 0
+                                           * (CAST(s.s1 AS DOUBLE) / s.k),
+                                         0.0)) > 0
                                THEN (CAST(h.n AS DOUBLE)
                                      - CAST(s.s1 AS DOUBLE) / s.k)
-                                    / sqrt(CAST(s.s2 AS DOUBLE) / s.k
+                                    / sqrt(greatest(
+                                           CAST(s.s2 AS DOUBLE) / s.k
                                            - (CAST(s.s1 AS DOUBLE) / s.k)
-                                             * (CAST(s.s1 AS DOUBLE) / s.k))
+                                             * (CAST(s.s1 AS DOUBLE) / s.k),
+                                           0.0))
                                END, 0.0)) > 3.0
                         THEN 1 ELSE 0 END AS is_anomaly
             FROM hourly h JOIN stats s ON s.event_type = h.event_type

@@ -224,11 +224,15 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     from sparklog.textops import spread
 
     emb = spread(emb)
-    if n_centroids is None or train_fraction is None:
+    # train_fraction only matters on the kmeans branch — deriving it for
+    # quantizer="sample" would cost a full count() action per call (the
+    # shipped gate config) for a value that is never read
+    need_fraction = train_fraction is None and quantizer != "sample"
+    if n_centroids is None or need_fraction:
         n = emb.count()
         if n_centroids is None:
             n_centroids = max(4, min(4096, int(math.isqrt(max(n, 1)))))
-        if train_fraction is None:
+        if need_fraction:
             train_fraction = ivf_train_fraction(n, max_train_rows)
     if n_probe is None:
         n_probe = max(2, n_centroids // 8)

@@ -40,7 +40,14 @@ def rate_anomalies(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     )
     j = hourly.join(F.broadcast(stats), "event_type")
     mean = F.col("_s1").cast("double") / F.col("_k")
-    var = F.col("_s2").cast("double") / F.col("_k") - mean * mean
+    # clamp at 0: E[x^2]-E[x]^2 can go slightly negative under
+    # catastrophic cancellation (huge near-constant counts, true variance
+    # below ~n^2*2^-52) — sqrt of that is NaN, and Spark orders NaN above
+    # every number, so an unclamped sd "passes" the sd>0 guard and flags
+    # every hour. The oracle SQL applies the identical greatest(...,0).
+    var = F.greatest(
+        F.col("_s2").cast("double") / F.col("_k") - mean * mean, F.lit(0.0)
+    )
     sd = F.sqrt(var)
     zscore = F.when(sd > 0, (F.col("n").cast("double") - mean) / sd)
     return j.select(

@@ -419,11 +419,29 @@ def components_from_pairs(nodes: DataFrame, pairs: DataFrame,
                           max_iters: int = 10) -> DataFrame:
     """Hash-min label propagation over an undirected pair list — the
     reusable core of neardup_components (see its docstring for the scale
-    analysis). nodes: (doc_id); pairs: (doc_a, doc_b)."""
+    analysis). nodes: (doc_id); pairs: (doc_a, doc_b).
+
+    Each round does the neighbor-min step AND a pointer-jumping step
+    (label <- label-of-label, one self-join on the labels table), so a
+    path of length d closes in O(log d) rounds instead of O(d) — a
+    1000-hop chain converges well inside the default max_iters=10, which
+    covers diameters up to ~2^9 even before the neighbor step helps.
+    Convergence (changed == 0) is exact: no change means every edge has
+    equal labels on both ends, i.e. labels are per-component constant,
+    and the constant is the component min (the min node's label never
+    decreases below itself). If max_iters rounds pass WITHOUT reaching
+    that fixpoint the function raises rather than silently returning
+    split components. The jump join shuffles the node-sized labels table
+    on the label key — for near-dup graphs (unions of small cliques) no
+    label is hot; a corpus-scale giant component would make its root
+    label a hot key, which is exactly the adversarial case where you'd
+    switch to alternating large-star/small-star (same join shapes)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("u", "v").localCheckpoint()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    converged = False
+    changed = -1
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -434,12 +452,26 @@ def components_from_pairs(nodes: DataFrame, pairs: DataFrame,
             .groupBy("u").agg(F.min("_vl").alias("_nl"))
             .select(F.col("u").alias("doc_id"), "_nl")
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"),
                         F.coalesce(F.col("_nl"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # pointer jump: l <- label[l]. Label values always name a node of
+        # the same component, so the invariant holds and chains halve.
+        jump = stepped.select(F.col("doc_id").alias("label"),
+                              F.col("label").alias("_jl"))
+        new_labels = (
+            stepped.join(jump, "label", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("_jl"), F.col("label")))
                 .alias("label"),
             )
             .localCheckpoint()
@@ -452,7 +484,14 @@ def components_from_pairs(nodes: DataFrame, pairs: DataFrame,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"components_from_pairs: no fixpoint after {max_iters} rounds "
+            f"(last round changed {changed} labels) — raise max_iters; "
+            "result would be silently split components"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("component_id"),

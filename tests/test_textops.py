@@ -359,6 +359,37 @@ def test_components_property_vs_union_find(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_components_long_chain_converges_within_default_iters(spark):
+    """Adversarial diameter: a 60-node path (diameter 59) must converge
+    inside the DEFAULT max_iters=10 — pointer jumping makes the reach
+    roughly double per round (2^(r+1)-1 hops after r rounds), so ~6
+    rounds suffice where plain hash-min would need 59 and silently
+    return split components."""
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in TX.components_from_pairs(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_components_raises_instead_of_returning_split_labels(spark):
+    """If the fixpoint is NOT reached in max_iters rounds the operator
+    must raise, never return wrong component ids (ADVICE r3): a 60-hop
+    chain cannot close in 2 rounds even with jumping (reach 2^3-1=7)."""
+    import pytest
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        TX.components_from_pairs(nodes, pairs, max_iters=2).collect()
+
+
 def test_oov_rate_toy_and_plan(spark):
     """Known-vocab corpus: with k=2 the top vocab is {'a','b'} (ties to
     text order), so doc 1's 'z' tokens are OOV; empty doc -> NULL rate.
