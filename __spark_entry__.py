@@ -412,21 +412,19 @@ def q_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic content-independent hash order (md5 of the doc_id
     string — identical in both engines, so the oracle reproduces the
     exact survivor set). The anti-spam rebalancer every webtext corpus
-    applies so one hot domain can't dominate training data. One window
-    over the domain key; at 100 TB this is a single shuffle on domain
-    with AQE skew splitting, or a groupBy+min_by(K) rewrite."""
-    from pyspark.sql import Window
-
+    applies so one hot domain can't dominate training data. Skew-safe:
+    textops.salted_topk's two-phase rank — per-(domain, salt) top-K then
+    top-K of the bounded survivors — because a single Window partitioned
+    by the Zipf-skewed domain key would put the hottest domain in ONE
+    task, and AQE skew-split does not cover Window partitions."""
     K = 20
     pages = synth.pages_df(spark, sf_dir)
     domain = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
-    w = Window.partitionBy("domain").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        pages.select("doc_id", domain.alias("domain"))
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= K)
+    return textops.salted_topk(
+        pages.select("doc_id", domain.alias("domain")),
+        "domain",
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        k=K,
     )
 
 

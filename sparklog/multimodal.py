@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 META_SCHEMA = T.StructType([
@@ -146,21 +147,22 @@ def extract_meta(pages: DataFrame, binary_col: str = "html") -> DataFrame:
 
     Arrow hands binary columns to pandas as Python ``bytes`` objects; the
     batch shape (one pd.DataFrame per Arrow batch) is asserted in tests.
-    """
+    content_hash is computed JVM-side (F.xxhash64 on the binary column)
+    BEFORE the Python stage — hashing is exactly the kind of per-byte
+    work that must not run in a Python loop at 100 TB; only the decode
+    stand-in (magic sniff + fake dimensions) stays in the UDF, because
+    that is the part a real codec would replace."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[binary_col]
-            n = len(pdf)
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "byte_len": payloads.map(lambda b: 0 if b is None else len(b)),
                 "magic": payloads.map(
                     lambda b: "" if not b else b[:6].decode("latin-1")
                 ),
-                "content_hash": payloads.map(
-                    lambda b: np.uint64(_fnv1a_bytes(b or b"")).astype(np.int64)
-                ),
+                "content_hash": pdf["content_hash"].astype("int64"),
             })
             # deterministic fake decode (stands in for decode_binary)
             out["fake_width"] = (out["content_hash"].astype("uint64") % 1920).astype(
@@ -171,7 +173,10 @@ def extract_meta(pages: DataFrame, binary_col: str = "html") -> DataFrame:
             ).astype("int32")
             yield out
 
-    return pages.select("doc_id", binary_col).mapInPandas(run, META_SCHEMA)
+    return pages.select(
+        "doc_id", binary_col,
+        F.xxhash64(F.col(binary_col)).alias("content_hash"),
+    ).mapInPandas(run, META_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType([

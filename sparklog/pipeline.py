@@ -143,29 +143,21 @@ def sessionize_batch(parsed: DataFrame,
     cross bucket edges back together exactly."""
 
     def fn(pdf):
+        import numpy as np
         import pandas as pd
 
-        ts = pdf["timestamp"].sort_values().to_numpy()
-        host = pdf["hostname"].iloc[0]
-        bkt = int(pdf["_bkt"].iloc[0])
-        out = []
-        start = last = int(ts[0])
-        n = 1
-        for t in ts[1:]:
-            t = int(t)
-            if t - last > gap_seconds:
-                out.append((host, bkt, start, last, n))
-                start = last = t
-                n = 1
-            else:
-                last = t
-                n += 1
-        out.append((host, bkt, start, last, n))
-        return pd.DataFrame(
-            out,
-            columns=["hostname", "_bkt", "session_start", "session_end",
-                     "n_events"],
-        )
+        # vectorized split (same diff/flatnonzero kernel as the streaming
+        # twin, streaming.py): break indices where the gap is exceeded
+        ts = np.sort(pdf["timestamp"].to_numpy(np.int64))
+        brk = np.flatnonzero(np.diff(ts) > gap_seconds) + 1
+        bounds = np.concatenate(([0], brk, [ts.size]))
+        return pd.DataFrame({
+            "hostname": pdf["hostname"].iloc[0],
+            "_bkt": int(pdf["_bkt"].iloc[0]),
+            "session_start": ts[bounds[:-1]],
+            "session_end": ts[bounds[1:] - 1],
+            "n_events": np.diff(bounds),
+        })
 
     events = _session_events(parsed).withColumn(
         "_bkt", (F.col("timestamp") / bucket_seconds).cast("long")

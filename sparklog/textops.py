@@ -103,6 +103,45 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def salted_topk(df: DataFrame, part_col: str, order_cols: list,
+                k: int, salts: int = 16, rank_col: str = "rnk") -> DataFrame:
+    """Per-group top-K that never places a whole hot group in one task.
+
+    A plain ``row_number().over(Window.partitionBy(group))`` puts every
+    row of the hottest group into a single task — and AQE's skew
+    handling does NOT apply (it splits skewed shuffle-read partitions
+    for joins, not Window groups), so on a Zipf-skewed key (web domains)
+    the hot group is a straggler at scale. Two-phase rewrite:
+
+    1. Per-(group, salt) top-K, salt = deterministic hash of the order
+       key mod ``salts``: the hot group's rows spread over ``salts``
+       window partitions. Any row in the group's global top-K is in the
+       top-K of its own salt bucket, so no survivor is lost.
+    2. Per-group top-K over the <= salts*K phase-1 survivors — bounded
+       input per group, so the one-task-per-group window is now safe.
+
+    Output = input columns + ``rank_col`` (1..K per group), EXACTLY the
+    rows and ranks of the naive single window (same order key both
+    phases). Cost: two narrow window shuffles instead of one hot one.
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(*order_cols), F.lit(salts))
+    w1 = Window.partitionBy(part_col, "_salt").orderBy(*order_cols)
+    cand = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w2).cast("int"))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt")
+    )
+
+
 # content-keyed split boundaries: md5 hex strings compare lexicographically
 # identically in Spark and DuckDB, so a prefix threshold is an engine-
 # portable, partitioning-independent bucketing. Content-keyed (not id-
@@ -126,12 +165,28 @@ def split_assign(docs: DataFrame, text_col: str = "text",
 
 
 def vocab_topk(docs: DataFrame, k: int = 1000,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               sample_fraction: float = 1.0) -> DataFrame:
     """Top-k corpus vocabulary by frequency (ties broken by token text —
     deterministic and engine-portable). orderBy+limit compiles to
     TakeOrderedAndProject: a DISTRIBUTED per-partition top-k merged at
-    the driver — no global sort, no single-task rank. At 100 TB you
-    would feed this a sample; the shape stays the same."""
+    the driver — no global sort, no single-task rank.
+
+    sample_fraction < 1 estimates the vocab from a deterministic
+    hash-keyed doc sample (xxhash64(doc_id) mod 1e6 threshold — stable
+    across partitionings/sessions, unlike df.sample): at 100 TB the
+    head-of-the-distribution vocab is already exact from a tiny
+    fraction, so scanning every token for it is waste. Frequencies
+    scale by 1/fraction in expectation; ranks of common tokens are
+    unchanged (test-pinned on the gate corpus)."""
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got "
+                         f"{sample_fraction}")
+    if sample_fraction < 1.0:
+        docs = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
     toks = docs.select(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -144,14 +199,19 @@ def vocab_topk(docs: DataFrame, k: int = 1000,
 
 
 def oov_rate(docs: DataFrame, k: int = 1000,
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             vocab_sample_fraction: float = 1.0) -> DataFrame:
     """Vocabulary-coverage quality signal (the RefinedWeb-style filter):
     per-doc fraction of tokens OUTSIDE the corpus top-k vocabulary.
     Plan: one vocab aggregation (16-byte-ish token keys), then explode ->
     BROADCAST membership join (vocab is tiny) -> one re-agg shuffle on
     doc_id. oov_rate is a raw IEEE division so the DuckDB oracle is
-    bit-identical; docs with no tokens get NULL."""
-    vocab = vocab_topk(docs, k, text_col).withColumn("_in", F.lit(1))
+    bit-identical; docs with no tokens get NULL. vocab_sample_fraction
+    bounds the vocab-estimation scan at scale (see vocab_topk); the
+    per-doc rate pass always reads every doc."""
+    vocab = vocab_topk(docs, k, text_col,
+                       sample_fraction=vocab_sample_fraction
+                       ).withColumn("_in", F.lit(1))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),

@@ -359,6 +359,75 @@ def test_components_property_vs_union_find(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_vocab_topk_sampled_is_stable_on_gate_corpus(spark):
+    """The 100-TB scale knob (vocab from a hash-keyed doc sample) must
+    reproduce the full-scan vocab on the gate corpus: the head of a
+    token-frequency distribution is exact from a fraction of the docs.
+    Also checks the sample filter actually drops docs (deterministic
+    xxhash64 threshold, not df.sample)."""
+    from pyspark.sql import functions as F
+    from sparklog.synth import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.01")
+    n_sampled = docs.filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000)) < 250_000
+    ).count()
+    assert 0 < n_sampled < docs.count()
+
+    full = [r["tok"] for r in TX.vocab_topk(docs, k=1000).collect()]
+    samp = [r["tok"] for r in
+            TX.vocab_topk(docs, k=1000, sample_fraction=0.25).collect()]
+    assert set(samp) == set(full)
+    assert len(set(full[:30]) & set(samp[:30])) >= 28
+
+    import pytest
+    with pytest.raises(ValueError):
+        TX.vocab_topk(docs, sample_fraction=0.0)
+
+
+def test_salted_topk_equals_naive_window_on_skewed_key(spark):
+    """salted_topk must return EXACTLY the naive hot-window result (rows
+    AND ranks) on a Zipf-ish input: one domain with 500 docs, a few tiny
+    ones. This is the domain_balance scale rewrite's correctness gate."""
+    from pyspark.sql import Window
+
+    rows = [(i, "hot.example.com") for i in range(500)]
+    rows += [(1000 + i, f"d{i}.example.com") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, domain STRING")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+
+    w = Window.partitionBy("domain").orderBy(*order)
+    want = {
+        (r["doc_id"], r["domain"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20).collect()
+    }
+    got_df = TX.salted_topk(df, "domain", order, k=20)
+    got = {(r["doc_id"], r["domain"], r["rnk"]) for r in got_df.collect()}
+    assert got == want
+
+    # skew evidence: phase 1 windows by (domain, _salt) — the hot domain
+    # spreads over many salt buckets instead of one window partition —
+    # and the plan has exactly the two narrow Window nodes
+    salts = (
+        df.filter(F.col("domain") == "hot.example.com")
+        .select(F.pmod(F.xxhash64(*order), F.lit(16)).alias("s"))
+        .distinct().count()
+    )
+    assert salts > 8, f"hot domain only occupies {salts} salt buckets"
+    # after execution AQE prints "Final Plan" AND "Initial Plan" — count
+    # nodes only in the final section
+    plan = (got_df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Window [row_number()") == 2
+    assert "_salt" in plan
+    # Spark 4's rank-limit pushdown: each phase gets a map-side
+    # (Partial) WindowGroupLimit, so at most K rows per group per map
+    # partition ever cross the shuffle — pin it so a plan regression
+    # (e.g. an expression change breaking the pushdown) fails loudly
+    assert "row_number(), 20, Partial" in plan
+
+
 def test_components_long_chain_converges_within_default_iters(spark):
     """Adversarial diameter: a 60-node path (diameter 59) must converge
     inside the DEFAULT max_iters=10 — pointer jumping makes the reach
