@@ -428,6 +428,73 @@ def q_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII augmentation: deterministic synthetic PII appended from doc_id
+# arithmetic, written in the ANSI subset BOTH engines evaluate
+# identically (%, ||, CASE, CAST AS STRING, lpad) — the word-salad corpus
+# contains no natural emails/IPs/phones, so without this the scrub green
+# would be vacuous. Every 5th doc gains an email, every 6th an IPv4,
+# every 11th a phone number.
+PII_AUG_EXPR = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user'"
+    " || CAST(doc_id % 97 AS STRING) || '@mail.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' from 10.0.'"
+    " || CAST(doc_id % 256 AS STRING) || '.' || CAST(doc_id % 250 AS STRING)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-'"
+    " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the PII-augmented corpus: typed placeholder
+    substitution + per-doc match counts, all JVM regex (map-only pass).
+    The oracle applies the same augmentation arithmetic and the same
+    patterns with DuckDB's RE2 ('g' flag — Spark regexp_replace is
+    global by default), proving the scrub byte-for-byte."""
+    docs = synth.load_documents(spark, sf_dir)
+    return textops.pii_scrub(
+        docs.select("doc_id", F.expr(PII_AUG_EXPR).alias("text"))
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (distinct-word ratio, top
+    word/bigram fractions). Spark computes the top-element counts with a
+    per-row sorted-array fold (no shuffle); the oracle recomputes the
+    same integers relationally (unnest + group + max), so a hash match
+    proves the fold against an independent formulation — non-vacuous by
+    construction on the 31-token word-salad corpus."""
+    return textops.repetition_score(synth.load_documents(spark, sf_dir))
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-like multi-record source roundtrip: serialize the pages table
+    to Common-Crawl-text-extract-shaped record files (magic line, headers,
+    blank line, body), re-read them with the delimiter-split text scan
+    (splittable at scale — see sparklog/io.py), and emit per-record
+    integrity facts. The oracle derives url/md5/byte-length straight from
+    the documents arithmetic, so a green row proves the writer->reader
+    roundtrip is byte-exact AND every Content-Length header matches its
+    decoded body (len_ok literally 1 in the oracle)."""
+    import tempfile
+
+    from sparklog import io as SIO
+
+    pages = synth.pages_df(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sparklog_wet_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SIO.write_wet(pages.select("url", "text"), path)
+    wet = SIO.read_wet(spark, path)
+    return wet.select(
+        "url",
+        F.md5("text").alias("body_md5"),
+        F.octet_length("text").cast("long").alias("body_bytes"),
+        "len_ok",
+    )
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage (OOV) quality signal vs the corpus top-1000
     vocab; distributed top-k + broadcast membership join."""
@@ -804,6 +871,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "neardup_components": q_neardup_components,
         "clean_corpus": q_clean_corpus,
         "split_assign": q_split_assign,
+        "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
+        "wet_roundtrip": q_wet_roundtrip,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -983,6 +1053,85 @@ def oracle_sql() -> dict[str, str]:
                              < '{textops.SPLIT_BOUNDS[1][1]}'
                           THEN '{textops.SPLIT_BOUNDS[1][0]}'
                         ELSE 'train' END AS split
+            FROM documents
+        """,
+        # same augmentation arithmetic, same regex patterns; DuckDB
+        # regexp_replace needs the 'g' flag to match Spark's
+        # always-global behavior, counts via len(regexp_extract_all)
+        "pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id, {PII_AUG_EXPR} AS text FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{textops.PII_IPV4_RE}', '<IP>', 'g'),
+                     '{textops.PII_PHONE_RE}', '<PHONE>', 'g')
+                     AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                     '{textops.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '{textops.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                     '{textops.PII_PHONE_RE}')) AS BIGINT) AS n_phones
+            FROM aug
+        """,
+        # independent relational formulation of the sorted-array fold:
+        # top-element counts via unnest + group + max; ratios are the
+        # same IEEE divisions of the same exact integers
+        "repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd
+              FROM w
+            ), topw AS (
+              SELECT doc_id, max(c) AS top_w FROM (
+                SELECT doc_id, tok, COUNT(*) AS c FROM (
+                  SELECT doc_id, unnest(w) AS tok FROM w
+                ) GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            ), bi AS (
+              SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+              FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM w WHERE len(w) >= 2
+              )
+            ), topb AS (
+              SELECT doc_id, max(c) AS top_b,
+                     CAST(SUM(c) AS BIGINT) AS nb
+              FROM (
+                SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(b.n AS BIGINT) AS n_words,
+                   CAST(b.nd AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(t.top_w, 0) AS BIGINT) AS top_word_n,
+                   CAST(COALESCE(tb.top_b, 0) AS BIGINT) AS top_bigram_n,
+                   CASE WHEN b.n > 0 THEN CAST(b.nd AS DOUBLE)
+                        / CAST(b.n AS DOUBLE) END AS distinct_ratio,
+                   CASE WHEN b.n > 0 THEN CAST(COALESCE(t.top_w, 0) AS DOUBLE)
+                        / CAST(b.n AS DOUBLE) END AS top_word_frac,
+                   CASE WHEN COALESCE(tb.nb, 0) > 0
+                        THEN CAST(tb.top_b AS DOUBLE)
+                             / CAST(tb.nb AS DOUBLE) END AS top_bigram_frac
+            FROM base b
+            LEFT JOIN topw t USING (doc_id)
+            LEFT JOIN topb tb USING (doc_id)
+        """,
+        # WET writer->reader roundtrip: expected facts derive from the
+        # shared url/text arithmetic; len_ok is literal 1 (every record's
+        # Content-Length header must match its decoded body)
+        "wet_roundtrip": f"""
+            SELECT {R.URL} AS url,
+                   md5(text) AS body_md5,
+                   CAST(strlen(text) AS BIGINT) AS body_bytes,
+                   1 AS len_ok
             FROM documents
         """,
         # domain = the synthesized url host, straight from the shared

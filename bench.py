@@ -79,12 +79,33 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _mad_spread(xs: list[float]) -> float:
+    """2 x median-absolute-deviation: the width of the central half of
+    the samples — the max-min analog that stays honest under steal.
+    Bursts on this host last minutes and can swallow 2 of 5 interleaved
+    rounds wholesale (measured: a round's parse sample at 32 s vs 3.3/
+    4.0/4.1 s in the quiet rounds); max-min (even trimmed) then reads
+    'unstable' when every quiet sample agrees within 5%. MAD is robust
+    to <50% outliers — the same property that makes the median the
+    right center — and the raw samples are reported alongside so
+    nothing is hidden."""
+    m = _median(xs)
+    return 2 * _median([abs(x - m) for x in xs])
+
+
 def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
-              runs: int = 3):
-    """Each leg is timed `runs` times and reported as the MEDIAN — this
-    host shows CPU-steal spikes (BASELINE.md: three scaling runs spanned
-    0.63-0.97 efficiency), so a single timing can read 2-4x slow. The
-    per-leg spread is reported alongside so a noisy round is visible."""
+              runs: int = 5):
+    """Every leg is timed `runs` times INTERLEAVED round-robin (A, B, C,
+    ..., A, B, C, ... — not AAA BBB) and reported as the per-leg MEDIAN.
+
+    This host has bursty CPU steal (up to 25%): with back-to-back
+    sampling all of a leg's samples land in the same host window, so a
+    burst during one leg corrupts its median while neighbors look fine
+    (r3's driver record: parse_enrich_agg median 32.9 s with that code
+    path untouched vs 8.3 s quiet — every sample sat in one stolen
+    window). Interleaving makes a burst inflate one ROUND of every leg
+    instead, which the median then discards. Spread is reported trimmed
+    (middle runs-2 samples) with all raw samples alongside."""
     from sparklog import pipeline as PL
     from sparklog.udf import parse_df
 
@@ -94,58 +115,60 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
         lines, n_rows = _replicated_lines(spark, sf_dir, target_rows, cpus,
                                           stage_dir)
 
-        samples: dict[str, list[float]] = {}
-
-        def leg(name: str, fn, n: int = runs) -> None:
-            samples[name] = [_timed(fn) for _ in range(n)]
-
-        # warm-up: spawn python workers / JIT / page-cache the staged files
-        parse_df(lines.limit(20000)).agg(F.count("parse_error")).collect()
+        from sparklog import ann, textops
+        from sparklog.synth import load_documents
 
         parsed = parse_df(lines)
-        leg("parse_count", lambda: parsed.agg(
-            F.sum(F.when(F.col("parse_error").isNull(), 1).otherwise(0))
-        ).collect())
+        docs = load_documents(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
         def e2e():
             ok, _ = PL.split_rejects(parse_df(lines))
             PL.hourly_agg(PL.enrich(ok, spark)).collect()
 
-        leg("parse_enrich_agg", e2e)
-
-        out_dir = tempfile.mkdtemp(prefix="sparklog_bench_route_")
-        try:
-            def route():
+        def route():
+            out_dir = tempfile.mkdtemp(prefix="sparklog_bench_route_")
+            try:
                 ok, _ = PL.split_rejects(parse_df(lines))
                 PL.route_write(PL.enrich(ok, spark, with_lang=False), out_dir)
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
 
-            # the biggest leg gets the same sample count as the others —
-            # 2 samples made its median a mean and its spread meaningless
-            leg("parse_enrich_route_write", route)
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
+        legs = [
+            ("parse_count", lambda: parsed.agg(
+                F.sum(F.when(F.col("parse_error").isNull(), 1).otherwise(0))
+            ).collect()),
+            ("parse_enrich_agg", e2e),
+            ("parse_enrich_route_write", route),
+            # text/similarity ops at native sf (no replication)
+            ("minhash_neardup",
+             lambda: textops.minhash_neardup(docs).count()),
+            ("simhash_neardup",
+             lambda: textops.simhash_neardup(docs).count()),
+            ("fingerprint", lambda: textops.fingerprint(docs).count()),
+            ("dedup_exact", lambda: textops.dedup_exact(docs).count()),
+            ("ann_topk", lambda: ann.brute_force_topk(emb).count()),
+            # scale-default parameterizations (auto-derived bits /
+            # centroids), not the recall-tuned gate configs
+            ("lsh_topk", lambda: ann.lsh_topk(emb).count()),
+            ("ivf_topk",
+             lambda: ann.ivf_topk(emb, quantizer="sample").count()),
+        ]
 
-        # text/similarity ops at native sf (no replication)
-        from sparklog import ann, textops
-        from sparklog.synth import load_documents
+        # warm-up: spawn python workers / JIT / page-cache the staged files
+        parse_df(lines.limit(20000)).agg(F.count("parse_error")).collect()
 
-        docs = load_documents(spark, sf_dir)
-        leg("minhash_neardup", lambda: textops.minhash_neardup(docs).count())
-        leg("simhash_neardup", lambda: textops.simhash_neardup(docs).count())
-        leg("fingerprint", lambda: textops.fingerprint(docs).count())
-        leg("dedup_exact", lambda: textops.dedup_exact(docs).count())
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        leg("ann_topk", lambda: ann.brute_force_topk(emb).count())
-        # scale-default parameterizations (auto-derived bits / centroids),
-        # not the recall-tuned gate configs
-        leg("lsh_topk", lambda: ann.lsh_topk(emb).count())
-        leg("ivf_topk",
-            lambda: ann.ivf_topk(emb, quantizer="sample").count())
+        samples: dict[str, list[float]] = {name: [] for name, _ in legs}
+        for _ in range(runs):
+            for name, fn in legs:
+                samples[name].append(_timed(fn))
 
         timings = {k: _median(v) for k, v in samples.items()}
-        spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
+        spread = {k: round(_mad_spread(v), 3)
+                  for k, v in samples.items()}
+        raw = {k: [round(x, 3) for x in v] for k, v in samples.items()}
         counts = {k: len(v) for k, v in samples.items()}
-        return timings, spread, counts, n_rows
+        return timings, spread, raw, counts, n_rows
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         spark.stop()
@@ -276,7 +299,7 @@ def main():
         run_scaling(sf_dir, sf, lo=_opt("--lo", 4), hi=_opt("--hi", 16))
         return
 
-    timings, spread, counts, n_rows = run_bench(cpus, sf_dir)
+    timings, spread, raw, counts, n_rows = run_bench(cpus, sf_dir)
     total = sum(timings.values())
     print(json.dumps({
         "metric": "pipeline_wall_sec",
@@ -285,11 +308,13 @@ def main():
         "sf": sf,
         "rows": n_rows,
         "runs_per_leg": counts,
-        "aggregation": "median",
+        "aggregation": "median of interleaved round-robin samples",
         "rows_per_sec_parse": round(n_rows / timings["parse_count"]),
         "rows_per_sec_e2e": round(n_rows / timings["parse_enrich_agg"]),
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "spread_sec": spread,
+        "spread_is": "2x median-absolute-deviation; raw in samples_sec",
+        "samples_sec": raw,
     }))
 
 

@@ -88,6 +88,72 @@ def parse_source(lines: DataFrame) -> DataFrame:
     return parse_df(lines)
 
 
+# --------------------------------------------------------------------------
+# WET-like multi-record text source (the Common-Crawl text-extract shape)
+# --------------------------------------------------------------------------
+# Each record: a "WARC/1.0" magic line, header lines, a blank line, then
+# the body. Unlike newline-delimited sources a record spans MANY lines, so
+# the scan splits on the record delimiter instead: spark.read.text with
+# lineSep="WARC/1.0\n" — Hadoop's LineRecordReader handles arbitrary
+# delimiters and the read stays SPLITTABLE (a 100 TB WET dump scans as
+# normal byte-range splits; a split starting mid-record syncs forward to
+# the next delimiter). Bodies are validated against the Content-Length
+# header. Limitation vs real WET (documented, not hidden): a body that
+# itself contains the magic line would mis-split — real crawls guard this
+# with the length prefix; our reader surfaces it as len_ok=0 instead of
+# silently corrupting, and the gate corpus has no embedded magic.
+
+WET_MAGIC = "WARC/1.0\n"
+
+
+def write_wet(pages: DataFrame, path: str, url_col: str = "url",
+              text_col: str = "text") -> None:
+    """(url, text) -> WET-like record files. One row per record; the text
+    writer's row terminator supplies the newline between records."""
+    rec = F.concat(
+        F.lit(WET_MAGIC + "WARC-Type: conversion\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\nContent-Length: "),
+        F.octet_length(F.col(text_col)).cast("string"),
+        F.lit("\n\n"),
+        F.col(text_col),
+    )
+    pages.select(rec.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET-like record files -> (url, content_length, text, len_ok).
+
+    All JVM: delimiter-split scan, substring_index header/body split,
+    regexp header extraction. len_ok compares the Content-Length header
+    to the decoded body's byte length — the record-integrity check."""
+    raw = spark.read.option("lineSep", WET_MAGIC).text(path)
+    # the chunk before the first magic line is empty; each record chunk
+    # carries the writer's row-terminating "\n" — strip exactly one
+    rec = F.regexp_replace(F.col("value"), r"\n$", "")
+    d = raw.filter(F.col("value") != "").select(rec.alias("rec"))
+    headers = F.substring_index(F.col("rec"), "\n\n", 1)
+    d = d.select("rec", headers.alias("_h"))
+    body = F.col("rec").substr(F.length("_h") + F.lit(3), F.length("rec"))
+    # try_cast: a mis-split record (embedded magic) has no Content-Length
+    # header — ANSI mode would throw on CAST(''); NULL flows to len_ok=0
+    cl = F.regexp_extract(F.col("_h"), r"Content-Length: (\d+)", 1) \
+        .try_cast("long")
+    d = d.select(
+        F.regexp_extract(F.col("_h"), r"WARC-Target-URI: (\S+)", 1)
+        .alias("url"),
+        cl.alias("content_length"),
+        body.alias("text"),
+    )
+    return d.withColumn(
+        "len_ok",
+        F.coalesce(
+            (F.col("content_length") == F.octet_length("text")).cast("int"),
+            F.lit(0),
+        ),
+    )
+
+
 def write_parsed_lake(parsed: DataFrame, out_dir: str,
                       mode: str = "overwrite") -> None:
     """Day-partitioned parquet lake of parsed messages.

@@ -87,6 +87,102 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns: shared Java-regex/RE2 subset (char classes, \b, \d,
+# bounded repetition — no lookarounds), so Spark and the DuckDB oracle
+# compile them identically. Replacement order matters and is fixed:
+# email -> ip -> phone (counts are taken on the ORIGINAL text).
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing (the C4/RefinedWeb release gate): replace emails,
+    IPv4 addresses, and phone numbers with typed placeholder tokens and
+    report per-doc match counts. Pure JVM projection — regexp_replace +
+    regexp_count, no shuffle, no Python; at 100 TB this is a map-only
+    pass that pipelines into whatever scan feeds it."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_IPV4_RE, "<IP>"),
+            PII_PHONE_RE, "<PHONE>",
+        ).alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+def _max_run(sorted_arr):
+    """Length of the longest run of equal adjacent elements in a sorted
+    array == the count of the most frequent element: a single JVM
+    aggregate() fold, no explode/shuffle. Elements must be non-empty
+    strings (the fold seeds prev='')."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        .alias("run"),
+        F.greatest(
+            acc.best,
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1).cast("long")),
+        ).alias("best"),
+    )
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc.best)
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-word ratio and
+    the fraction of the doc taken by the single most frequent word /
+    bigram (boilerplate and degenerate generations score high).
+
+    Entirely per-row JVM array math — split -> array_sort -> one
+    aggregate() fold computes the top-element count (longest equal-run
+    in the sorted array), so there is NO explode/groupBy shuffle; the
+    oracle recomputes the same integers relationally (unnest + count)
+    and the ratios are identical IEEE divisions. NULL ratios for docs
+    with no words (and no bigram ratio for 1-word docs)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != "")
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.expr(
+            "transform(sequence(0, size(_w) - 2),"
+            " i -> _w[i] || ' ' || _w[i + 1])"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(
+        "doc_id", words.alias("_w")
+    ).select(
+        "doc_id", "_w", bigrams.alias("_b")
+    )
+    n = F.size("_w")
+    nb = F.size("_b")
+    top_w = _max_run(F.array_sort("_w"))
+    top_b = _max_run(F.array_sort("_b"))
+    nd = F.size(F.array_distinct("_w"))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        nd.cast("long").alias("n_distinct"),
+        top_w.alias("top_word_n"),
+        top_b.alias("top_bigram_n"),
+        F.when(n > 0, dbl(nd) / dbl(n)).alias("distinct_ratio"),
+        F.when(n > 0, dbl(top_w) / dbl(n)).alias("top_word_frac"),
+        F.when(nb > 0, dbl(top_b) / dbl(nb)).alias("top_bigram_frac"),
+    )
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via content-hash groupBy: one shuffle on md5(text).
 

@@ -110,3 +110,40 @@ def test_read_syslog_text_stable_ids_across_split_layouts(spark, tmp_path):
     many_splits = read_set("2k")  # forces multiple splits per file
     assert one_split == many_splits
     assert len(one_split) == 251  # duplicate line kept as a distinct id
+
+
+def test_wet_roundtrip_bytes_and_utf8(spark, tmp_path):
+    """WET writer->reader roundtrip: bodies survive byte-exactly incl.
+    UTF-8 and embedded newlines/blank lines; Content-Length (BYTES, not
+    chars) verifies every record; the read is delimiter-split (lineSep),
+    so it stays splittable."""
+    rows = [
+        ("https://a.example.com/p/1", "plain ascii body"),
+        ("https://b.example.com/p/2", "héllo wörld — café"),
+        ("https://c.example.com/p/3", "multi\nline\n\nbody with blank"),
+        ("https://d.example.com/p/4", ""),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, text STRING")
+    path = str(tmp_path / "wet")
+    IO.write_wet(df, path)
+    back = {r["url"]: r for r in IO.read_wet(spark, path).collect()}
+    assert set(back) == {u for u, _ in rows}
+    for url, text in rows:
+        assert back[url]["text"] == text, url
+        assert back[url]["len_ok"] == 1, url
+        assert back[url]["content_length"] == len(text.encode("utf-8"))
+
+
+def test_wet_embedded_magic_is_flagged_not_silent(spark, tmp_path):
+    """A body containing the record magic line mis-splits (documented
+    limitation vs length-prefixed real WET) — the reader must surface it
+    via len_ok=0, never return a full set of len_ok=1 records."""
+    rows = [
+        ("https://a.example.com/p/1", "evil body\nWARC/1.0\nfake: header"),
+        ("https://b.example.com/p/2", "good body"),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, text STRING").coalesce(1)
+    path = str(tmp_path / "wet_evil")
+    IO.write_wet(df, path)
+    out = IO.read_wet(spark, path).collect()
+    assert any(r["len_ok"] != 1 for r in out)

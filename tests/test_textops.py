@@ -359,6 +359,60 @@ def test_components_property_vs_union_find(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_pii_scrub_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at bob.smith@corp.example.org today"),
+            (1, "server 192.168.1.20 and 10.0.0.7 rebooted"),
+            (2, "call 415-555-0123 or 415-555-9999"),
+            (3, "plain text no pii"),
+            (4, "a@b.io from 1.2.3.4 dial 212-555-0000"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in TX.pii_scrub(docs).collect()}
+    assert rows[0]["clean_text"] == "mail me at <EMAIL> today"
+    assert rows[0]["n_emails"] == 1
+    assert rows[1]["clean_text"] == "server <IP> and <IP> rebooted"
+    assert rows[1]["n_ips"] == 2
+    assert rows[2]["clean_text"] == "call <PHONE> or <PHONE>"
+    assert rows[2]["n_phones"] == 2
+    assert rows[3]["clean_text"] == "plain text no pii"
+    assert (rows[3]["n_emails"], rows[3]["n_ips"], rows[3]["n_phones"]) \
+        == (0, 0, 0)
+    assert rows[4]["clean_text"] == "<EMAIL> from <IP> dial <PHONE>"
+    # map-only JVM pass: no Python eval nodes, no shuffle
+    plan = TX.pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def test_repetition_score_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b"),          # top word a=3/4, bigram 'a a'=2/3
+            (1, "x"),                # one word: no bigrams
+            (2, ""),                 # no words at all
+            (3, "p q p q"),          # bigrams: p q (2), q p (1)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in TX.repetition_score(docs).collect()}
+    assert rows[0]["n_words"] == 4 and rows[0]["n_distinct"] == 2
+    assert rows[0]["top_word_n"] == 3 and rows[0]["top_bigram_n"] == 2
+    assert rows[0]["top_word_frac"] == 0.75
+    assert rows[0]["top_bigram_frac"] == 2 / 3
+    assert rows[1]["n_words"] == 1 and rows[1]["top_bigram_frac"] is None
+    assert rows[2]["n_words"] == 0 and rows[2]["distinct_ratio"] is None
+    assert rows[2]["top_word_n"] == 0
+    assert rows[3]["top_bigram_n"] == 2 and rows[3]["top_bigram_frac"] == 2 / 3
+    # the fold is pure JVM array math: no Python nodes, no shuffle
+    plan = (TX.repetition_score(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Exchange" not in plan
+
+
 def test_vocab_topk_sampled_is_stable_on_gate_corpus(spark):
     """The 100-TB scale knob (vocab from a hash-keyed doc sample) must
     reproduce the full-scan vocab on the gate corpus: the head of a
