@@ -495,6 +495,34 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix capping: per-domain doc caps from a CAPS TABLE
+    (cap = 5 * (len(domain) % 7) — deterministic shared arithmetic, and
+    some domains legitimately get cap 0 = dropped), applied with the
+    skew-safe two-phase salted rank (textops.capped_sample). The oracle
+    reproduces the survivor set exactly with QUALIFY over a joined cap."""
+    pages = synth.pages_df(spark, sf_dir)
+    domain = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    d = pages.select("doc_id", domain.alias("domain"))
+    caps = d.select("domain").distinct().select(
+        "domain", (F.length("domain") % 7 * 5).cast("int").alias("cap")
+    )
+    return textops.capped_sample(
+        d, caps, "domain",
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+    )
+
+
+def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget pack (shard) assignment via the distributed
+    prefix-sum (hex-nibble range buckets -> per-bucket running sums ->
+    broadcast offsets). The oracle computes the SAME integers with one
+    global SUM() OVER (ORDER BY ...) window — an independent
+    formulation, so a hash match proves the two-phase decomposition."""
+    return textops.pack_assign(synth.load_documents(spark, sf_dir),
+                               budget=512)
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage (OOV) quality signal vs the corpus top-1000
     vocab; distributed top-k + broadcast membership join."""
@@ -874,6 +902,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "wet_roundtrip": q_wet_roundtrip,
+        "capped_sample": q_capped_sample,
+        "pack_assign": q_pack_assign,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -1133,6 +1163,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_bytes,
                    1 AS len_ok
             FROM documents
+        """,
+        # per-domain caps from the cap table, survivor set by md5 order
+        "capped_sample": f"""
+            WITH d AS (
+              SELECT doc_id, {R.HOST} AS domain FROM documents
+            ), c AS (
+              SELECT domain,
+                     CAST(length(domain) % 7 * 5 AS INT) AS cap
+              FROM (SELECT DISTINCT domain FROM d)
+            )
+            SELECT d.doc_id, d.domain,
+                   CAST(row_number() OVER (
+                     PARTITION BY d.domain
+                     ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS INT) AS rnk
+            FROM d JOIN c USING (domain)
+            QUALIFY rnk <= c.cap
+        """,
+        # global running sum over the canonical md5 order — the
+        # single-window formulation the distributed prefix-sum must match
+        "pack_assign": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS BIGINT)
+                       AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS k
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                     ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens,
+                   CAST((SUM(n_tokens) OVER (
+                     ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens) // 512 AS BIGINT) AS pack_id
+            FROM t
         """,
         # domain = the synthesized url host, straight from the shared
         # arithmetic — checks the url build -> parse_url roundtrip

@@ -238,6 +238,100 @@ def salted_topk(df: DataFrame, part_col: str, order_cols: list,
     )
 
 
+def capped_sample(df: DataFrame, caps: DataFrame, part_col: str,
+                  order_cols: list, salts: int = 16,
+                  rank_col: str = "rnk") -> DataFrame:
+    """Per-group cap with a PER-GROUP cap table (the training-mix
+    operator: 'at most N_d docs from domain d'), deterministic by the
+    order key. Same two-phase salted shape as salted_topk — phase 1
+    prunes each (group, salt) window to the LARGEST cap (so no survivor
+    of any group's true cap can be lost), phase 2 ranks the bounded
+    survivors per group and applies that group's own cap from a
+    broadcast join. caps: (part_col, cap INT). Groups absent from caps
+    are dropped (cap 0 == explicit drop). The max-cap lookup is one
+    tiny-driver-side agg over the caps table — bounded by the number of
+    groups you budget for, which a mixture config always is."""
+    from pyspark.sql import Window
+
+    max_cap = caps.agg(F.max("cap")).collect()[0][0]
+    if max_cap is None:
+        return (
+            df.join(F.broadcast(caps), part_col)
+            .withColumn(rank_col, F.lit(1))
+            .filter(F.lit(False))
+            .drop("cap")
+        )
+    salt = F.pmod(F.xxhash64(*order_cols), F.lit(salts))
+    w1 = Window.partitionBy(part_col, "_salt").orderBy(*order_cols)
+    cand = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= int(max_cap))
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        cand.join(F.broadcast(caps), part_col)
+        .withColumn(rank_col, F.row_number().over(w2).cast("int"))
+        .filter(F.col(rank_col) <= F.col("cap"))
+        .drop("_salt", "cap")
+    )
+
+
+def pack_assign(docs: DataFrame, budget: int = 512, n_buckets: int = 16,
+                text_col: str = "text") -> DataFrame:
+    """Deterministic token-budget pack assignment: every doc gets a
+    global cumulative token offset and a pack (shard) id in a canonical
+    content-independent order (md5 of doc_id) — the bookkeeping step
+    before writing fixed-token-budget training shards.
+
+    A naive global ``SUM() OVER (ORDER BY ...)`` is a single-task sort.
+    Distributed prefix-sum instead: the order key's FIRST hex nibble is
+    a range-aligned bucket (global md5 order == (bucket, rest) order),
+    so (1) each bucket computes its local running sum in its own window
+    partition, (2) the per-bucket totals (n_buckets rows) get exclusive
+    prefix offsets on the driver-side tiny frame, (3) one broadcast join
+    adds the offset back. n_buckets=16 uses the first nibble; 256 would
+    use two hex chars (parameterized the same way at larger scale).
+    md5 is uniform, so buckets are balanced by construction — no hot
+    window. All integer arithmetic: the DuckDB oracle's global window
+    reproduces it bit-for-bit."""
+    if n_buckets == 16:
+        nib = 1
+    elif n_buckets == 256:
+        nib = 2
+    else:
+        raise ValueError("n_buckets must be 16 or 256 (hex-aligned)")
+    from pyspark.sql import Window
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    t = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda x: x != "")).cast("long").alias("n_tokens"),
+        key.alias("_k"),
+    ).withColumn("_b", F.substring("_k", 1, nib))
+    w = (Window.partitionBy("_b").orderBy("_k", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = t.withColumn("_local_cum", F.sum("n_tokens").over(w))
+    totals = t.groupBy("_b").agg(F.max("_local_cum").alias("_tot"))
+    wo = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = totals.withColumn(
+        "_off", F.sum("_tot").over(wo) - F.col("_tot")
+    ).select("_b", "_off")
+    return (
+        t.join(F.broadcast(offsets), "_b")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_local_cum") + F.col("_off")).alias("cum_tokens"),
+            F.expr(f"(_local_cum + _off - n_tokens) div {int(budget)}")
+            .alias("pack_id"),
+        )
+    )
+
+
 # content-keyed split boundaries: md5 hex strings compare lexicographically
 # identically in Spark and DuckDB, so a prefix threshold is an engine-
 # portable, partitioning-independent bucketing. Content-keyed (not id-

@@ -482,6 +482,77 @@ def test_salted_topk_equals_naive_window_on_skewed_key(spark):
     assert "row_number(), 20, Partial" in plan
 
 
+def test_capped_sample_matches_naive_with_cap_table(spark):
+    """Per-group caps from a table: survivors must equal the naive
+    window+cap-join result — including a cap-0 group (dropped) and a
+    group absent from the caps table (dropped)."""
+    from pyspark.sql import Window
+
+    rows = [(i, "big.com") for i in range(40)]
+    rows += [(100 + i, "mid.com") for i in range(10)]
+    rows += [(200 + i, "zero.com") for i in range(5)]
+    rows += [(300 + i, "nocap.com") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id LONG, domain STRING")
+    caps = spark.createDataFrame(
+        [("big.com", 3), ("mid.com", 7), ("zero.com", 0)],
+        "domain STRING, cap INT",
+    )
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+
+    w = Window.partitionBy("domain").orderBy(*order)
+    want = {
+        (r["doc_id"], r["domain"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .join(caps, "domain").filter(F.col("rnk") <= F.col("cap")).collect()
+    }
+    got = {
+        (r["doc_id"], r["domain"], r["rnk"])
+        for r in TX.capped_sample(df, caps, "domain", order).collect()
+    }
+    assert got == want
+    assert len(got) == 3 + 7  # big: 40 docs capped at 3; mid: 10 capped at 7
+    doms = {d for _, d, _ in got}
+    assert "zero.com" not in doms and "nocap.com" not in doms
+
+
+def test_pack_assign_matches_naive_global_window(spark):
+    """The distributed prefix-sum (nibble buckets + offsets) must equal
+    the naive single global window bit-for-bit, and pack boundaries must
+    respect the budget arithmetic."""
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 11))) for i in range(300)],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in TX.pack_assign(docs, budget=50).collect()}
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = (Window.orderBy(key, "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nt = F.size(F.split("text", " ")).cast("long")
+    want = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", nt.alias("n_tokens"),
+            F.sum(nt).over(w).alias("cum_tokens"),
+        ).withColumn(
+            "pack_id", F.expr("(cum_tokens - n_tokens) div 50")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        for c in ("n_tokens", "cum_tokens", "pack_id"):
+            assert got[did][c] == want[did][c], (did, c)
+    # every pack's docs start inside the budget window of that pack
+    total = sum(r["n_tokens"] for r in got.values())
+    assert max(r["cum_tokens"] for r in got.values()) == total
+    # the big window is bucketed, never global over the full data
+    plan = (TX.pack_assign(docs, budget=50)._jdf.queryExecution()
+            .executedPlan().toString().split("== Initial Plan ==")[0])
+    assert "_b" in plan
+
+
 def test_components_long_chain_converges_within_default_iters(spark):
     """Adversarial diameter: a 60-node path (diameter 59) must converge
     inside the DEFAULT max_iters=10 — pointer jumping makes the reach
