@@ -590,6 +590,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.embedding_neardup(_augmented_emb(emb), threshold=0.9)
 
 
+def q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization, checked ELEMENT-WISE: every (vec_id,
+    position, quantized value, scale) against DuckDB recomputing the
+    same floor-based arithmetic (floor, not round — round ties break
+    differently across engines; floor is bit-deterministic)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ANN.quantize_embeddings(emb)
+    return out.select(
+        "vec_id", "scale", F.posexplode("q").alias("i", "qv")
+    ).select("vec_id", F.col("i").cast("long").alias("i"), "qv", "scale")
+
+
 def q_sessionize_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase sessionization ((hostname, day) then boundary
     merge) — same semantics and oracle as q_sessionize, but no single
@@ -904,6 +916,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "wet_roundtrip": q_wet_roundtrip,
         "capped_sample": q_capped_sample,
         "pack_assign": q_pack_assign,
+        "quantize_emb": q_quantize_emb,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -1163,6 +1176,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_bytes,
                    1 AS len_ok
             FROM documents
+        """,
+        # element-wise int8 quantization parity: same floor arithmetic,
+        # same float->double widening, 1-based list index shifted to 0
+        "quantize_emb": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings
+            ), ex AS (
+              SELECT vec_id, embedding, scale,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM s
+            )
+            SELECT vec_id,
+                   CAST(i - 1 AS BIGINT) AS i,
+                   CASE WHEN scale > 0
+                        THEN CAST(greatest(-127, least(127,
+                             floor(CAST(embedding[i] AS DOUBLE)
+                                   / scale * 127))) AS INT)
+                        ELSE 0 END AS qv,
+                   scale
+            FROM ex
         """,
         # per-domain caps from the cap table, survivor set by md5 order
         "capped_sample": f"""

@@ -147,6 +147,15 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
              lambda: textops.simhash_neardup(docs).count()),
             ("fingerprint", lambda: textops.fingerprint(docs).count()),
             ("dedup_exact", lambda: textops.dedup_exact(docs).count()),
+            ("pii_scrub",
+             lambda: textops.pii_scrub(docs).agg(
+                 F.sum("n_emails")).collect()),
+            ("repetition",
+             lambda: textops.repetition_score(docs).agg(
+                 F.sum("top_word_n")).collect()),
+            ("pack_assign",
+             lambda: textops.pack_assign(docs).agg(
+                 F.max("cum_tokens")).collect()),
             ("ann_topk", lambda: ann.brute_force_topk(emb).count()),
             # scale-default parameterizations (auto-derived bits /
             # centroids), not the recall-tuned gate configs

@@ -408,3 +408,42 @@ def _lsh_join(emb: DataFrame, n_queries: int, n_bits: int | None,
         & (F.col("bucket") == F.col("_qb"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).dropDuplicates(["query_id", "neighbor_id"])
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Symmetric per-vector integer quantization for embedding storage:
+    q_i = clamp(floor(x_i / scale * qmax)), scale = max|x_i|. At 100 TB
+    an int8 embedding lake is 4x smaller than float32 and the scan is
+    correspondingly faster; the scale column dequantizes on read.
+
+    floor (NOT round) on purpose: round's tie behavior differs across
+    engines (banker's vs half-away-from-zero — a measured r3 pitfall),
+    floor is bit-deterministic everywhere, and the uniform-quantizer
+    error bound only shifts from 0.5 to 1 ULP. Zero vectors quantize to
+    zeros with scale 0. Pure JVM higher-order array expressions — one
+    map-only projection, no shuffle, no Python.
+
+    Output: (vec_id, scale DOUBLE, q ARRAY<INT>).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    scale = F.array_max(
+        F.transform(F.col("embedding"),
+                    lambda v: F.abs(v.cast("double")))
+    )
+    d = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.greatest(
+                F.lit(-qmax),
+                F.least(
+                    F.lit(qmax),
+                    F.floor(v.cast("double") / F.col("scale") * qmax),
+                ),
+            ).cast("int"),
+        ),
+    ).otherwise(
+        F.transform(F.col("embedding"), lambda v: F.lit(0).cast("int"))
+    )
+    return d.select("vec_id", "scale", q.alias("q"))

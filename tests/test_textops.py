@@ -482,6 +482,35 @@ def test_salted_topk_equals_naive_window_on_skewed_key(spark):
     assert "row_number(), 20, Partial" in plan
 
 
+def test_quantize_embeddings_bound_and_edges(spark):
+    """Floor-quantizer invariants: dequantized values within 1 ULP
+    (scale/127) of the original, extremes hit ±127 exactly, zero vector
+    quantizes to zeros with scale 0, and the op is a map-only JVM
+    projection (no shuffle, no Python)."""
+    from sparklog import ann as ANN
+
+    rows = [
+        (0, [1.0, -1.0, 0.5, -0.25]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-2.0, 0.1, 0.0, 1.99]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r["vec_id"]: r for r in ANN.quantize_embeddings(emb).collect()}
+    assert out[0]["q"] == [127, -127, 63, -32]  # floor(-0.25*127)=-32
+    assert out[1]["scale"] == 0.0 and out[1]["q"] == [0, 0, 0, 0]
+    assert out[2]["q"][0] == -127  # the negative extreme clamps exactly
+    for vid, vec in rows:
+        s = out[vid]["scale"]
+        if s == 0:
+            continue
+        for x, q in zip(vec, out[vid]["q"]):
+            assert abs(x - q * s / 127) <= s / 127 + 1e-12
+    plan = (ANN.quantize_embeddings(emb)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_capped_sample_matches_naive_with_cap_table(spark):
     """Per-group caps from a table: survivors must equal the naive
     window+cap-join result — including a cap-0 group (dropped) and a
