@@ -434,15 +434,22 @@ def q_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contains no natural emails/IPs/phones, so without this the scrub green
 # would be vacuous. Every 5th doc gains an email, every 6th an IPv4,
 # every 11th a phone number.
-PII_AUG_EXPR = (
-    "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user'"
-    " || CAST(doc_id % 97 AS STRING) || '@mail.example.com' ELSE '' END"
-    " || CASE WHEN doc_id % 6 = 0 THEN ' from 10.0.'"
-    " || CAST(doc_id % 256 AS STRING) || '.' || CAST(doc_id % 250 AS STRING)"
-    " ELSE '' END"
-    " || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-'"
-    " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
-)
+def _pii_aug_expr(key: str = "doc_id") -> str:
+    """Build the augmentation fragment keyed on ``key`` — composition
+    queries key it on the ORIGINAL id (doc_id % offset) so augmented
+    exact copies stay byte-identical to their originals."""
+    return (
+        f"text || CASE WHEN {key} % 5 = 0 THEN ' contact user'"
+        f" || CAST({key} % 97 AS STRING) || '@mail.example.com' ELSE '' END"
+        f" || CASE WHEN {key} % 6 = 0 THEN ' from 10.0.'"
+        f" || CAST({key} % 256 AS STRING) || '.'"
+        f" || CAST({key} % 250 AS STRING) ELSE '' END"
+        f" || CASE WHEN {key} % 11 = 0 THEN ' call 415-555-'"
+        f" || lpad(CAST({key} % 10000 AS STRING), 4, '0') ELSE '' END"
+    )
+
+
+PII_AUG_EXPR = _pii_aug_expr()
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +528,21 @@ def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation, so a hash match proves the two-phase decomposition."""
     return textops.pack_assign(synth.load_documents(spark, sf_dir),
                                budget=512)
+
+
+def q_clean_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL cleaning composition (PII scrub -> quality + lang +
+    repetition gates on scrubbed text -> exact dedup) over the doubly
+    augmented corpus: copies of every 7th doc (dedup non-vacuous) AND
+    synthetic PII keyed on the ORIGINAL doc id (scrub non-vacuous,
+    copies stay byte-identical). One scan + one shuffle — plan-audited
+    in tests; the oracle rebuilds the whole five-stage pass in SQL."""
+    docs = _augmented_docs(synth.load_documents(spark, sf_dir))
+    aug = docs.select(
+        "doc_id",
+        F.expr(_pii_aug_expr(f"(doc_id % {DOC_AUG_OFFSET})")).alias("text"),
+    )
+    return textops.clean_corpus_full(aug)
 
 
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +939,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "capped_sample": q_capped_sample,
         "pack_assign": q_pack_assign,
         "quantize_emb": q_quantize_emb,
+        "clean_corpus_full": q_clean_corpus_full,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -1305,6 +1328,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                    md5(text) AS text_md5,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM f GROUP BY md5(text)
+        """,
+        # the five-stage cleaning pass rebuilt relationally: augment
+        # (copies keyed to originals + PII keyed on the ORIGINAL id),
+        # scrub, lang-score the SCRUBBED text, repetition gate, dedup
+        "clean_corpus_full": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {DOC_AUG_OFFSET} AS doc_id, text
+              FROM documents WHERE doc_id % {DOC_AUG_STEP} = 0
+            ), aug AS (
+              SELECT doc_id,
+                     {_pii_aug_expr(f"(doc_id % {DOC_AUG_OFFSET})")} AS text
+              FROM base
+            ), scr AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{textops.PII_IPV4_RE}', '<IP>', 'g'),
+                       '{textops.PII_PHONE_RE}', '<PHONE>', 'g') AS text,
+                     CAST(len(regexp_extract_all(text,
+                            '{textops.PII_EMAIL_RE}'))
+                        + len(regexp_extract_all(text,
+                            '{textops.PII_IPV4_RE}'))
+                        + len(regexp_extract_all(text,
+                            '{textops.PII_PHONE_RE}')) AS BIGINT) AS n_pii
+              FROM aug
+            ), lid AS (
+              SELECT * FROM ({_lang_id_oracle(src="scr")})
+            ), wrd AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM scr
+            ), topw AS (
+              SELECT doc_id, max(c) AS top_w FROM (
+                SELECT doc_id, tok, COUNT(*) AS c FROM (
+                  SELECT doc_id, unnest(w) AS tok FROM wrd
+                ) GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            ), f AS (
+              SELECT s.doc_id, s.text, s.n_pii
+              FROM scr s
+              JOIN lid ON lid.doc_id = s.doc_id
+              JOIN wrd ON wrd.doc_id = s.doc_id
+              JOIN topw t ON t.doc_id = s.doc_id
+              WHERE length(s.text) >= 100
+                AND len(string_split(s.text, ' ')) >= 20
+                AND lid.pred_lang = 'en'
+                AND len(wrd.w) > 0
+                AND CAST(t.top_w AS DOUBLE) / CAST(len(wrd.w) AS DOUBLE)
+                    <= 0.15
+            )
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   md5(text) AS clean_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   CAST(MIN(n_pii) AS BIGINT) AS n_pii
             FROM f GROUP BY md5(text)
         """,
         "events_rollup": """

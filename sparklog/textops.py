@@ -502,6 +502,53 @@ def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
     )
 
 
+def clean_corpus_full(docs: DataFrame, lang: str = "en",
+                      min_chars: int = 100, min_words: int = 20,
+                      max_top_word_frac: float = 0.15) -> DataFrame:
+    """The FULL webtext cleaning composition — PII scrub, then quality
+    gate AND language filter AND repetition gate on the scrubbed text,
+    then exact-dedup of survivors — still ONE scan + ONE shuffle on the
+    16-byte md5 key. Scrub runs FIRST (dedup keys and quality measures
+    must see the text that would actually ship); every per-doc signal
+    (regex scrub/counts, marker-word lang scores, the sorted-array
+    repetition fold) is a pure projection fused into the scan, so only
+    rows passing every gate reach the dedup exchange. This is the
+    operator-fusion story at 100 TB: five logical cleaning stages, one
+    pass over the data.
+
+    Output: (doc_id, clean_md5, n_copies, n_pii) per surviving
+    canonical doc — n_pii = scrubbed matches (identical across exact
+    copies by construction)."""
+    s = pii_scrub(docs)
+    s = s.withColumn(
+        "n_pii",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+        .cast("long"),
+    ).select("doc_id", "clean_text", "n_pii")
+    scored = with_lang_pred(s, text_col="clean_text")
+    words = F.filter(F.split(F.lower(F.col("clean_text")), " "),
+                     lambda x: x != "")
+    scored = scored.withColumn("_wf", words)
+    top_frac = (_max_run(F.array_sort("_wf")).cast("double")
+                / F.size("_wf").cast("double"))
+    f = scored.filter(
+        (F.length("clean_text") >= min_chars)
+        & (F.size(F.split(F.col("clean_text"), " ")) >= min_words)
+        & (F.col("pred_lang") == lang)
+        & (F.size("_wf") > 0)
+        & (top_frac <= max_top_word_frac)
+    )
+    return (
+        f.groupBy(F.md5(F.col("clean_text")).alias("clean_md5"))
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("n_pii").alias("n_pii"),
+        )
+        .select("doc_id", "clean_md5", "n_copies", "n_pii")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection
 # ---------------------------------------------------------------------------

@@ -306,6 +306,38 @@ def test_clean_corpus_is_one_scan_one_shuffle(spark, toy_docs):
     assert plan.count("Exchange") == 1
 
 
+def test_clean_corpus_full_fused_and_every_gate_bites(spark):
+    """The five-stage composition stays ONE scan + ONE shuffle (no joins
+    between component ops), and on the gate corpus every gate is
+    non-vacuous: PII was scrubbed (n_pii > 0 somewhere), dups collapsed
+    (n_copies = 2 somewhere), and the repetition gate dropped docs that
+    pass quality+lang (full < clean_corpus survivor count)."""
+    from sparklog.synth import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.01")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    ).withColumn(
+        "text",
+        F.expr(
+            "text || CASE WHEN (doc_id % 1000000) % 5 = 0"
+            " THEN ' contact user' || CAST((doc_id % 1000000) % 97"
+            " AS STRING) || '@mail.example.com' ELSE '' END"
+        ),
+    )
+    out = TX.clean_corpus_full(aug)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+    rows = out.collect()
+    assert any(r["n_pii"] > 0 for r in rows)
+    assert any(r["n_copies"] == 2 for r in rows)
+    base = TX.clean_corpus(aug.select("doc_id", "text")).count()
+    assert 0 < len(rows) < base  # repetition gate dropped some survivors
+
+
 def test_split_assign_deterministic_and_reasonable(spark, toy_docs):
     """Content-keyed splits: identical text -> identical split (docs 0/1);
     assignment is partitioning-independent; salt rotates it."""
