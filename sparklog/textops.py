@@ -305,21 +305,27 @@ def pack_assign(docs: DataFrame, budget: int = 512, n_buckets: int = 16,
     from pyspark.sql import Window
 
     key = F.md5(F.col("doc_id").cast("string"))
-    t = docs.select(
+    base = docs.select(
         "doc_id",
         F.size(F.filter(F.split(F.col(text_col), " "),
                         lambda x: x != "")).cast("long").alias("n_tokens"),
         key.alias("_k"),
     ).withColumn("_b", F.substring("_k", 1, nib))
-    w = (Window.partitionBy("_b").orderBy("_k", "doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    t = t.withColumn("_local_cum", F.sum("n_tokens").over(w))
-    totals = t.groupBy("_b").agg(F.max("_local_cum").alias("_tot"))
+    # classic two-pass prefix sum: pass 1 is AGG-ONLY (per-bucket token
+    # sums, partial map-side combine -> n_buckets rows, no sort, no
+    # window) — only pass 2 pays the per-bucket sort+window. Computing
+    # the totals as max(_local_cum) of the windowed frame instead would
+    # re-sort and re-window the whole corpus a second time (the plan
+    # audit pins exactly ONE corpus-order sort).
+    totals = base.groupBy("_b").agg(F.sum("n_tokens").alias("_tot"))
     wo = (Window.orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offsets = totals.withColumn(
         "_off", F.sum("_tot").over(wo) - F.col("_tot")
     ).select("_b", "_off")
+    w = (Window.partitionBy("_b").orderBy("_k", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = base.withColumn("_local_cum", F.sum("n_tokens").over(w))
     return (
         t.join(F.broadcast(offsets), "_b")
         .select(

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -93,3 +94,27 @@ def test_hash_chunking_is_partition_stable(spark):
     a = {r["doc_id"]: r["c"] for r in lines.repartition(2).collect()}
     b = {r["doc_id"]: r["c"] for r in lines.repartition(16).collect()}
     assert a == b
+
+
+def test_build_corpus_job_end_to_end(tmp_path):
+    """The corpus-build CLI wires clean -> balance -> split -> pack ->
+    partitioned lake; stats line must be conservative (each stage keeps
+    <= previous) and the lake must be partition-pruned by split."""
+    import json
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/build_corpus.py",
+         "--input", "/root/testdata/sf0.001",
+         "--output", str(tmp_path), "--parallelism", "8"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["docs_in"] >= stats["docs_clean"] >= stats["docs_balanced"]
+    assert stats["docs_balanced"] == stats["docs_written"] > 0
+    assert stats["tokens_total"] > 0 and stats["shards"] >= 1
+    assert set(stats["splits"]) <= {"train", "valid", "test"}
+    assert sum(stats["splits"].values()) == stats["docs_written"]
+    # split is a physical partition column -> pruned scans for a trainer
+    lake = stats["lake"]
+    assert any(d.startswith("split=") for d in os.listdir(lake))

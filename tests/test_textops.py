@@ -608,10 +608,15 @@ def test_pack_assign_matches_naive_global_window(spark):
     # every pack's docs start inside the budget window of that pack
     total = sum(r["n_tokens"] for r in got.values())
     assert max(r["cum_tokens"] for r in got.values()) == total
-    # the big window is bucketed, never global over the full data
+    # the big window is bucketed, never global over the full data, and
+    # the corpus-order sort happens exactly ONCE (the totals pass is
+    # agg-only — no second sort/window over the data)
     plan = (TX.pack_assign(docs, budget=50)._jdf.queryExecution()
             .executedPlan().toString().split("== Initial Plan ==")[0])
     assert "_b" in plan
+    big_sorts = [ln for ln in plan.splitlines()
+                 if "Sort [" in ln and "_k" in ln]
+    assert len(big_sorts) == 1, big_sorts
 
 
 def test_components_long_chain_converges_within_default_iters(spark):
