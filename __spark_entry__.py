@@ -545,6 +545,14 @@ def q_clean_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.clean_corpus_full(aug)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score. The parity trick: token
+    log-probs are fixed-point micro-nat BIGINTs (floor(ln(p) * 1e6)), so
+    per-doc sums are order-independent integer arithmetic — a raw double
+    sum would vary with partition order and could never hash-match."""
+    return textops.lm_score(synth.load_documents(spark, sf_dir))
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage (OOV) quality signal vs the corpus top-1000
     vocab; distributed top-k + broadcast membership join."""
@@ -940,6 +948,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pack_assign": q_pack_assign,
         "quantize_emb": q_quantize_emb,
         "clean_corpus_full": q_clean_corpus_full,
+        "lm_score": q_lm_score,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -1329,6 +1338,44 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM f GROUP BY md5(text)
+        """,
+        # unigram LM score: identical fixed-point micro-nat arithmetic
+        # (floor(ln(count/total) * 1e6) as BIGINT, OOV = ln(1/total));
+        # the per-doc SUM is integer -> order-independent both engines
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+              )
+            ), cnt AS (
+              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt
+            ), lp AS (
+              SELECT tok,
+                     CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000000)
+                          AS BIGINT) AS lp
+              FROM cnt, tot
+            ), per AS (
+              SELECT k.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(COALESCE(lp.lp,
+                       (SELECT CAST(floor(ln(1.0 / t) * 1000000) AS BIGINT)
+                        FROM tot))) AS BIGINT) AS sum_lp_micro
+              FROM toks k LEFT JOIN lp ON lp.tok = k.tok
+              GROUP BY k.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.sum_lp_micro, 0) AS sum_lp_micro,
+                   CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN NULL
+                        ELSE -CAST(p.sum_lp_micro AS DOUBLE)
+                             / (CAST(p.n_tokens AS DOUBLE) * 1000000)
+                        END AS mean_neg_logprob
+            FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         """,
         # the five-stage cleaning pass rebuilt relationally: augment
         # (copies keyed to originals + PII keyed on the ORIGINAL id),

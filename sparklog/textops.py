@@ -508,6 +508,76 @@ def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
     )
 
 
+def lm_score(docs: DataFrame, text_col: str = "text",
+             scale: int = 1_000_000) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per-doc mean
+    negative log-probability under the corpus's own unigram distribution
+    (wiki-like text scores low, gibberish scores high — the classic
+    perplexity-bucket filter).
+
+    Exactness trick: token log-probs are FIXED-POINT micro-nats —
+    lp(tok) = floor(ln(count/total) * scale) as BIGINT — so per-doc
+    sums are integer arithmetic: order-INDEPENDENT and bit-identical
+    across engines, where a double sum would vary with Spark's
+    partition-order float addition and break oracle parity. The only
+    float step (ln) happens once per DISTINCT token, and a floor-
+    boundary flip would need Java's and DuckDB's ln to differ at that
+    exact micro-nat edge (~1e-9 probability across a whole vocab).
+    OOV mass: unseen tokens get lp = floor(ln(1/total) * scale).
+
+    Plan: one token-count aggregation (top-k-free: counts shuffle on
+    token keys), one broadcast of the (tok, lp) vocab, one per-doc
+    re-agg — the oov_rate shape. Output: (doc_id, n_tokens,
+    sum_lp_micro, mean_neg_logprob) — mean is a raw IEEE division of
+    exact integers."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = cnt.agg(F.sum("_c")).collect()[0][0] or 0
+    if total == 0:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("sum_lp_micro"),
+            F.lit(None).cast("double").alias("mean_neg_logprob"),
+        )
+    lp = cnt.select(
+        "tok",
+        F.floor(F.log(F.col("_c").cast("double") / F.lit(float(total)))
+                * scale).cast("long").alias("_lp"),
+    )
+    import math
+
+    oov_lp = math.floor(math.log(1.0 / total) * scale)
+    per = (
+        toks.join(F.broadcast(lp), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("_lp", F.lit(oov_lp))).cast("long")
+            .alias("sum_lp_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_lp_micro", F.lit(0)).cast("long")
+            .alias("sum_lp_micro"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            ).otherwise(
+                -F.col("sum_lp_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * scale)
+            ).alias("mean_neg_logprob"),
+        )
+    )
+
+
 def clean_corpus_full(docs: DataFrame, lang: str = "en",
                       min_chars: int = 100, min_words: int = 20,
                       max_top_word_frac: float = 0.15) -> DataFrame:

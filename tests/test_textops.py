@@ -514,6 +514,29 @@ def test_salted_topk_equals_naive_window_on_skewed_key(spark):
     assert "row_number(), 20, Partial" in plan
 
 
+def test_lm_score_fixed_point_known_values(spark):
+    """Hand-computed micro-nat arithmetic on a 3-token corpus, NULL for
+    the empty doc, and the ordering property the filter exists for:
+    common-token docs score lower than rare-token docs."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a a a"), (2, "b"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in TX.lm_score(docs).collect()}
+    # counts: a=5, b=2, total=7
+    lp_a = math.floor(math.log(5 / 7) * 1e6)
+    lp_b = math.floor(math.log(2 / 7) * 1e6)
+    assert out[0]["sum_lp_micro"] == 2 * lp_a + lp_b
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["mean_neg_logprob"] == -(2 * lp_a + lp_b) / 3e6
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["mean_neg_logprob"] is None
+    # all-common doc 1 scores LOWER than rare-token doc 2
+    assert out[1]["mean_neg_logprob"] < out[2]["mean_neg_logprob"]
+
+
 def test_quantize_embeddings_bound_and_edges(spark):
     """Floor-quantizer invariants: dequantized values within 1 ULP
     (scale/127) of the original, extremes hit ±127 exactly, zero vector
