@@ -147,6 +147,8 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
              lambda: textops.simhash_neardup(docs).count()),
             ("fingerprint", lambda: textops.fingerprint(docs).count()),
             ("dedup_exact", lambda: textops.dedup_exact(docs).count()),
+            ("clean_corpus_full",
+             lambda: textops.clean_corpus_full(docs).count()),
             ("pii_scrub",
              lambda: textops.pii_scrub(docs).agg(
                  F.sum("n_emails")).collect()),

@@ -139,6 +139,59 @@ def dedup_stream(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def clean_stream(docs: DataFrame, lang: str = "en", min_chars: int = 100,
+                 min_words: int = 20,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of the corpus cleaning pass for a LIVE crawl feed:
+    the per-doc signals (PII scrub, quality gate, language filter) are
+    STATELESS projections that apply to a stream unchanged; exact dedup
+    — the one stateful stage — becomes dropDuplicatesWithinWatermark on
+    the scrubbed-text md5, so duplicate fetches arriving within the
+    horizon are suppressed with BOUNDED state (batch clean_corpus_full's
+    global groupBy would grow state forever on an unbounded stream).
+    Semantics note, not hidden: the batch pass collapses dups across the
+    whole corpus; the stream suppresses them within the watermark — the
+    horizon is the window in which a re-crawl/retransmit can arrive.
+
+    Input must carry (doc_id, text, event_ts TIMESTAMP). Output: one row
+    per surviving doc (doc_id, text_md5, n_pii)."""
+    from sparklog import textops
+
+    # scrub inline (a self-join to re-attach event_ts would be a
+    # stream-stream join; the signals are projections, so just keep the
+    # column) — same patterns/order as textops.pii_scrub
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, textops.PII_EMAIL_RE, "<EMAIL>"),
+            textops.PII_IPV4_RE, "<IP>"),
+        textops.PII_PHONE_RE, "<PHONE>",
+    )
+    n_pii = (
+        F.regexp_count(t, F.lit(textops.PII_EMAIL_RE))
+        + F.regexp_count(t, F.lit(textops.PII_IPV4_RE))
+        + F.regexp_count(t, F.lit(textops.PII_PHONE_RE))
+    ).cast("long")
+    s = docs.select(
+        "doc_id", "event_ts", clean.alias("clean_text"),
+        n_pii.alias("n_pii"),
+    )
+    scored = textops.with_lang_pred(s, text_col="clean_text")
+    f = scored.filter(
+        (F.length("clean_text") >= min_chars)
+        & (F.size(F.split(F.col("clean_text"), " ")) >= min_words)
+        & (F.col("pred_lang") == lang)
+    ).select(
+        "doc_id", "event_ts", "n_pii",
+        F.md5(F.col("clean_text")).alias("text_md5"),
+    )
+    return (
+        f.withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+        .select("doc_id", "text_md5", "n_pii")
+    )
+
+
 def sessionize_stream_native(parsed: DataFrame,
                              gap_seconds: int = SESSION_GAP_SECONDS,
                              watermark: str = "2 hours") -> DataFrame:

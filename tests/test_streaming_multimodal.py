@@ -407,3 +407,59 @@ def test_dedup_stream_suppresses_cross_batch_retransmits(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     msgs = sorted(r["msg"] for r in rows)
     assert msgs == ["m1", "m2", "m3"]
+
+
+def test_clean_stream_gates_and_cross_batch_dedup(spark, tmp_path):
+    """Streaming cleaning pass: quality/lang/PII-scrub apply per batch;
+    a re-crawled duplicate (same scrubbed text) in a later micro-batch
+    within the watermark is suppressed; short docs are dropped."""
+    import json as _json
+
+    in_dir = str(tmp_path / "docs_in")
+    ck = str(tmp_path / "docs_ck")
+    out_dir = str(tmp_path / "docs_out")
+    os.makedirs(in_dir)
+
+    good = ("the quick brown fox and the lazy dog of the north went to "
+            "a market in town that is busy and loud and full of the "
+            "best goods in the region")
+    with_pii = good + " contact me at alice@web.example.com"
+
+    def write_batch(name, rows):
+        with open(f"{in_dir}/{name}", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_once():
+        docs = (
+            spark.readStream.schema(
+                "doc_id LONG, text STRING, event_ts TIMESTAMP"
+            ).json(in_dir)
+        )
+        q = (
+            ST.clean_stream(docs, watermark="1 hour")
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", out_dir).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    write_batch("a.jsonl", [
+        {"doc_id": 1, "text": good, "event_ts": "2016-01-10T10:00:00Z"},
+        {"doc_id": 2, "text": with_pii, "event_ts": "2016-01-10T10:01:00Z"},
+        {"doc_id": 3, "text": "too short", "event_ts": "2016-01-10T10:02:00Z"},
+    ])
+    run_once()
+    write_batch("b.jsonl", [
+        # re-crawl of doc 1 under a new id -> same md5 -> suppressed
+        {"doc_id": 9, "text": good, "event_ts": "2016-01-10T10:10:00Z"},
+    ])
+    run_once()
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_pii"] == 1
+    assert rows[1]["n_pii"] == 0
+    # scrub happened BEFORE dedup keying: docs 1 and 2 differ only by
+    # the appended email, so their scrubbed texts differ by '<EMAIL>'
+    assert rows[1]["text_md5"] != rows[2]["text_md5"]
