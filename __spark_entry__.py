@@ -545,6 +545,33 @@ def q_clean_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.clean_corpus_full(aug)
 
 
+# messy-URL augmentation (shared ANSI fragment): every 5th doc gets an
+# UPPERCASED scheme+host, every 3rd tracking params, every 4th a fragment
+def _messy_url_expr() -> str:
+    return (
+        f"(CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' || upper({R.HOST})"
+        f" ELSE 'https://' || ({R.HOST}) END)"
+        " || '/p/' || CAST(doc_id AS STRING)"
+        " || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=1'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN '#sec-2' ELSE '' END"
+    )
+
+
+def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically messed-up urls
+    (uppercase hosts, utm params, fragments). STRONG oracle: the
+    expected canonical form is recomputed from the synthesis arithmetic
+    itself ('https://' || host || path [+ surviving params]) — it does
+    NOT mirror the implementation, so a green row proves the normalize
+    logic end-to-end, not that two copies of it agree."""
+    docs = synth.load_documents(spark, sf_dir)
+    messy = docs.select("doc_id", F.expr(_messy_url_expr()).alias("url"))
+    return textops.canonical_url(messy).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality score. The parity trick: token
     log-probs are fixed-point micro-nat BIGINTs (floor(ln(p) * 1e6)), so
@@ -949,6 +976,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quantize_emb": q_quantize_emb,
         "clean_corpus_full": q_clean_corpus_full,
         "lm_score": q_lm_score,
+        "canonical_url": q_canonical_url,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -1338,6 +1366,17 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM f GROUP BY md5(text)
+        """,
+        # expected canonical form straight from the synthesis arithmetic
+        # (independent of the normalizer's implementation)
+        "canonical_url": f"""
+            SELECT doc_id,
+                   {_messy_url_expr()} AS url,
+                   'https://' || ({R.HOST}) || '/p/'
+                     || CAST(doc_id AS STRING)
+                     || CASE WHEN doc_id % 3 = 0 THEN '?ref=1' ELSE '' END
+                     AS canonical_url
+            FROM documents
         """,
         # unigram LM score: identical fixed-point micro-nat arithmetic
         # (floor(ln(count/total) * 1e6) as BIGINT, OOV = ln(1/total));

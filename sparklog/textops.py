@@ -508,6 +508,52 @@ def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
     )
 
 
+def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization — the normalize-before-dedup step of a crawl
+    pipeline: lowercase the scheme+authority, drop the fragment, strip
+    utm_* tracking params (other params survive, in order). Query-param
+    surgery uses split/filter/array_join higher-order functions instead
+    of regex backreferences — Java uses $1 where RE2 uses \\1, so
+    backref replacements can silently diverge between Spark and an
+    RE2-based oracle; set ops cannot. Pure projection, no shuffle.
+
+    Adds ``canonical_url`` next to the original column."""
+    d = df.withColumn(
+        "_u", F.regexp_replace(F.col(url_col), "#.*$", "")
+    ).withColumn(
+        "_sh", F.regexp_extract("_u", "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    )
+    d = d.withColumn(
+        "_rest",
+        F.col("_u").substr(F.length("_sh") + F.lit(1), F.length("_u")),
+    ).withColumn("_path", F.substring_index("_rest", "?", 1))
+    d = d.withColumn(
+        "_q",
+        F.when(
+            F.col("_rest").contains("?"),
+            F.expr("substring(_rest, length(_path) + 2)"),
+        ).otherwise(F.lit("")),
+    ).withColumn(
+        "_kept",
+        F.array_join(
+            F.filter(
+                F.split("_q", "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            ),
+            "&",
+        ),
+    )
+    return d.withColumn(
+        "canonical_url",
+        F.concat(
+            F.lower("_sh"),
+            F.col("_path"),
+            F.when(F.col("_kept") != "",
+                   F.concat(F.lit("?"), F.col("_kept"))).otherwise(F.lit("")),
+        ),
+    ).drop("_u", "_sh", "_rest", "_path", "_q", "_kept")
+
+
 def lm_score(docs: DataFrame, text_col: str = "text",
              scale: int = 1_000_000) -> DataFrame:
     """CCNet-style unigram language-model quality score: per-doc mean

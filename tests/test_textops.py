@@ -514,6 +514,31 @@ def test_salted_topk_equals_naive_window_on_skewed_key(spark):
     assert "row_number(), 20, Partial" in plan
 
 
+def test_canonical_url_known_cases(spark):
+    """Pin the normalizer on the cases regex-based strippers get wrong:
+    CONSECUTIVE utm params (a one-pass regex consumes the separator of
+    the next match and leaves the second param behind — split/filter
+    doesn't), utm-only queries, host casing, ports, fragments."""
+    cases = [
+        ("https://a.b/p?utm_a=1&utm_b=2&x=3", "https://a.b/p?x=3"),
+        ("HTTP://X.Y/p#f", "http://x.y/p"),
+        ("https://h/p?utm_only=1", "https://h/p"),
+        ("https://H.D:8080/a?b=1&utm_z=9#frag", "https://h.d:8080/a?b=1"),
+        ("https://plain.example.com/p/7", "https://plain.example.com/p/7"),
+        ("https://h/p?a=1&b=2", "https://h/p?a=1&b=2"),  # order preserved
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id LONG, url STRING"
+    )
+    got = {r["doc_id"]: r["canonical_url"]
+           for r in TX.canonical_url(df).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    plan = (TX.canonical_url(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
 def test_lm_score_fixed_point_known_values(spark):
     """Hand-computed micro-nat arithmetic on a 3-token corpus, NULL for
     the empty doc, and the ordering property the filter exists for:
