@@ -572,6 +572,20 @@ def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination gate: every train/valid doc's shingle overlap
+    with the content-keyed TEST split — the exact setup a real pipeline
+    runs (eval set = own held-out split, membership by k-shingle). The
+    oracle rebuilds the split rule + shingle sets + membership join
+    relationally."""
+    docs = synth.load_documents(spark, sf_dir)
+    split = textops.split_assign(docs)
+    d = docs.join(split, "doc_id")
+    ev = d.filter(F.col("split") == "test").select("doc_id", "text")
+    tr = d.filter(F.col("split") != "test").select("doc_id", "text")
+    return textops.contamination(tr, ev)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality score. The parity trick: token
     log-probs are fixed-point micro-nat BIGINTs (floor(ln(p) * 1e6)), so
@@ -977,6 +991,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clean_corpus_full": q_clean_corpus_full,
         "lm_score": q_lm_score,
         "canonical_url": q_canonical_url,
+        "contamination": q_contamination,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -1366,6 +1381,53 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM f GROUP BY md5(text)
+        """,
+        # split rule + shingle sets + membership join, all relational;
+        # rate is a raw IEEE division of exact counts
+        "contamination": f"""
+            WITH spl AS (
+              SELECT doc_id, text,
+                     CASE WHEN substr(md5(text), 1, 8)
+                               < '{textops.SPLIT_BOUNDS[0][1]}'
+                            THEN '{textops.SPLIT_BOUNDS[0][0]}'
+                          WHEN substr(md5(text), 1, 8)
+                               < '{textops.SPLIT_BOUNDS[1][1]}'
+                            THEN '{textops.SPLIT_BOUNDS[1][0]}'
+                          ELSE 'train' END AS split
+              FROM documents
+            ), shng AS (
+              SELECT doc_id, split,
+                     CASE WHEN length(text) >= 5 THEN
+                       list_distinct(list_transform(
+                         range(0, length(text) - 4),
+                         i -> substr(text, i + 1, 5)))
+                     ELSE [] END AS s
+              FROM spl
+            ), ev AS (
+              SELECT DISTINCT sh FROM (
+                SELECT unnest(s) AS sh FROM shng WHERE split = 'test'
+              )
+            ), trx AS (
+              SELECT doc_id, unnest(s) AS sh FROM shng
+              WHERE split <> 'test'
+            ), hit AS (
+              SELECT sh, 1 AS h FROM ev
+            ), per AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                     CAST(SUM(COALESCE(h, 0)) AS BIGINT) AS n_hits
+              FROM trx LEFT JOIN hit USING (sh)
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   COALESCE(p.n_shingles, 0) AS n_shingles,
+                   COALESCE(p.n_hits, 0) AS n_hits,
+                   CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN NULL
+                        ELSE CAST(p.n_hits AS DOUBLE)
+                             / CAST(p.n_shingles AS DOUBLE) END
+                     AS contamination_rate
+            FROM spl s LEFT JOIN per p ON p.doc_id = s.doc_id
+            WHERE s.split <> 'test'
         """,
         # expected canonical form straight from the synthesis arithmetic
         # (independent of the normalizer's implementation)

@@ -508,6 +508,53 @@ def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
     )
 
 
+def contamination(docs: DataFrame, eval_docs: DataFrame,
+                  k: int = 5, text_col: str = "text") -> DataFrame:
+    """Train-eval contamination check — the decontamination gate every
+    serious pipeline runs before training: for each candidate doc, the
+    fraction of its DISTINCT k-shingles that appear anywhere in the
+    eval set. Docs above a threshold get quarantined (the thresholding
+    is the caller's policy; this op computes the exact rate).
+
+    Plan: eval shingles -> distinct (eval sets are benchmark-sized, so
+    the membership side BROADCASTs; at terabyte eval scale the same
+    equi-join shuffles on shingle keys); candidate shingles -> explode
+    -> broadcast membership join -> one re-agg on doc_id. Rate is a raw
+    IEEE division of exact counts. Docs with no shingles (shorter than
+    k) get NULL rate."""
+    tr = spread(docs).select(
+        "doc_id", F.explode(_shingles(text_col, k)).alias("sh")
+    )
+    ev = eval_docs.select(
+        F.explode(_shingles(text_col, k)).alias("sh")
+    ).distinct().withColumn("_hit", F.lit(1))
+    per = (
+        tr.join(F.broadcast(ev), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            ).otherwise(
+                F.col("n_hits").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
 def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     """URL canonicalization — the normalize-before-dedup step of a crawl
     pipeline: lowercase the scheme+authority, drop the fragment, strip

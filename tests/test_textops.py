@@ -514,6 +514,34 @@ def test_salted_topk_equals_naive_window_on_skewed_key(spark):
     assert "row_number(), 20, Partial" in plan
 
 
+def test_contamination_known_rates(spark):
+    """Exact rates on hand-built overlap: a verbatim eval copy is 1.0,
+    disjoint text 0.0, partial overlap counts shared 5-shingles, short
+    docs get NULL, and the membership side broadcasts."""
+    ev = spark.createDataFrame(
+        [(100, "abcdefgh")], "doc_id LONG, text STRING"
+    )
+    tr = spark.createDataFrame(
+        [
+            (0, "abcdefgh"),     # verbatim -> 1.0
+            (1, "zzzzzzzzzz"),   # disjoint -> 0.0
+            (2, "abcdexyzw"),    # shares only shingle 'abcde' -> 1/5
+            (3, "abc"),          # too short -> NULL
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in TX.contamination(tr, ev).collect()}
+    assert out[0]["contamination_rate"] == 1.0
+    assert out[1]["contamination_rate"] == 0.0
+    assert out[2]["n_shingles"] == 5 and out[2]["n_hits"] == 1
+    assert out[2]["contamination_rate"] == 0.2
+    assert out[3]["n_shingles"] == 0
+    assert out[3]["contamination_rate"] is None
+    plan = (TX.contamination(tr, ev)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
 def test_canonical_url_known_cases(spark):
     """Pin the normalizer on the cases regex-based strippers get wrong:
     CONSECUTIVE utm params (a one-pass regex consumes the separator of
