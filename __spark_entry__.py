@@ -572,6 +572,14 @@ def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus profile over the augmented corpus (so
+    n_distinct_texts < n_docs is a real, non-vacuous inequality)."""
+    return textops.profile_docs(
+        _augmented_docs(synth.load_documents(spark, sf_dir))
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination gate: every train/valid doc's shingle overlap
     with the content-keyed TEST split — the exact setup a real pipeline
@@ -992,6 +1000,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lm_score": q_lm_score,
         "canonical_url": q_canonical_url,
         "contamination": q_contamination,
+        "profile": q_profile,
         "oov_rate": q_oov_rate,
         "domain_stats": q_domain_stats,
         "domain_balance": q_domain_balance,
@@ -1381,6 +1390,28 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM f GROUP BY md5(text)
+        """,
+        # exact integer totals + quantile_cont (bit-parity with Spark
+        # percentile, rounded 4dp like events_user_stats)
+        "profile": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {DOC_AUG_OFFSET} AS doc_id, text
+              FROM documents WHERE doc_id % {DOC_AUG_STEP} = 0
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_empty,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                     AS total_words,
+                   ROUND(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+                   ROUND(quantile_cont(length(text), 0.95), 4) AS p95_chars,
+                   CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                     AS n_distinct_texts
+            FROM aug
         """,
         # split rule + shingle sets + membership join, all relational;
         # rate is a raw IEEE division of exact counts

