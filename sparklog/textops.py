@@ -628,7 +628,8 @@ def canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def lm_score(docs: DataFrame, text_col: str = "text",
-             scale: int = 1_000_000) -> DataFrame:
+             scale: int = 1_000_000,
+             vocab_k: int | None = None) -> DataFrame:
     """CCNet-style unigram language-model quality score: per-doc mean
     negative log-probability under the corpus's own unigram distribution
     (wiki-like text scores low, gibberish scores high — the classic
@@ -644,9 +645,14 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     exact micro-nat edge (~1e-9 probability across a whole vocab).
     OOV mass: unseen tokens get lp = floor(ln(1/total) * scale).
 
-    Plan: one token-count aggregation (top-k-free: counts shuffle on
-    token keys), one broadcast of the (tok, lp) vocab, one per-doc
-    re-agg — the oov_rate shape. Output: (doc_id, n_tokens,
+    Plan: one token-count aggregation (counts shuffle on token keys),
+    one broadcast of the (tok, lp) vocab, one per-doc re-agg — the
+    oov_rate shape. vocab_k bounds the broadcast side: web-scale
+    corpora have effectively unbounded distinct-token tails, so the
+    full (tok, lp) table is NOT broadcastable at 100 TB — a real LM
+    filter scores against a FIXED top-k vocabulary (CCNet style) with
+    everything else as OOV mass; vocab_k=None keeps the exact full
+    vocab for gate-scale oracle checking. Output: (doc_id, n_tokens,
     sum_lp_micro, mean_neg_logprob) — mean is a raw IEEE division of
     exact integers."""
     toks = docs.select(
@@ -655,6 +661,13 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     ).filter(F.col("tok") != "")
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     total = cnt.agg(F.sum("_c")).collect()[0][0] or 0
+    if vocab_k is not None:
+        # deterministic top-k by (count desc, token): the bounded vocab.
+        # total stays the FULL corpus mass so in-vocab probabilities are
+        # true corpus frequencies, not renormalized over the head.
+        cnt = (
+            cnt.orderBy(F.col("_c").desc(), F.col("tok")).limit(vocab_k)
+        )
     if total == 0:
         return docs.select(
             "doc_id",

@@ -590,6 +590,24 @@ def test_lm_score_fixed_point_known_values(spark):
     assert out[1]["mean_neg_logprob"] < out[2]["mean_neg_logprob"]
 
 
+def test_lm_score_bounded_vocab(spark):
+    """vocab_k bounds the broadcast vocab (the 100-TB knob): only the
+    top-k tokens score in-vocab, the tail gets the OOV log-prob, and
+    in-vocab probabilities keep the FULL corpus total (no
+    renormalization over the head)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id LONG, text STRING"
+    )
+    # counts: a=3, b=2, c=1, total=6; vocab_k=2 keeps {a, b}; c -> OOV
+    out = TX.lm_score(docs, vocab_k=2).collect()[0]
+    lp_a = math.floor(math.log(3 / 6) * 1e6)
+    lp_b = math.floor(math.log(2 / 6) * 1e6)
+    oov = math.floor(math.log(1 / 6) * 1e6)
+    assert out["sum_lp_micro"] == 3 * lp_a + 2 * lp_b + oov
+
+
 def test_quantize_embeddings_bound_and_edges(spark):
     """Floor-quantizer invariants: dequantized values within 1 ULP
     (scale/127) of the original, extremes hit ±127 exactly, zero vector
