@@ -1184,24 +1184,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same augmentation arithmetic, same regex patterns; DuckDB
         # regexp_replace needs the 'g' flag to match Spark's
-        # always-global behavior, counts via len(regexp_extract_all)
+        # always-global behavior, counts via len(regexp_extract_all) on
+        # the text AFTER the prior replacements (sequential counting —
+        # counts == placeholders emitted, matching textops.pii_scrub)
         "pii_scrub": f"""
             WITH aug AS (
               SELECT doc_id, {PII_AUG_EXPR} AS text FROM documents
+            ), seq AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), seq2 AS (
+              SELECT doc_id, text, t1,
+                     regexp_replace(t1,
+                       '{textops.PII_IPV4_RE}', '<IP>', 'g') AS t2
+              FROM seq
             )
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                     '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                     '{textops.PII_IPV4_RE}', '<IP>', 'g'),
+                   regexp_replace(t2,
                      '{textops.PII_PHONE_RE}', '<PHONE>', 'g')
                      AS clean_text,
                    CAST(len(regexp_extract_all(text,
                      '{textops.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t1,
                      '{textops.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t2,
                      '{textops.PII_PHONE_RE}')) AS BIGINT) AS n_phones
-            FROM aug
+            FROM seq2
         """,
         # independent relational formulation of the sorted-array fold:
         # top-element counts via unnest + group + max; ratios are the
@@ -1522,19 +1532,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      {_pii_aug_expr(f"(doc_id % {DOC_AUG_OFFSET})")} AS text
               FROM base
+            ), sq1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), sq2 AS (
+              SELECT doc_id, text, t1,
+                     regexp_replace(t1,
+                       '{textops.PII_IPV4_RE}', '<IP>', 'g') AS t2
+              FROM sq1
             ), scr AS (
+              -- sequential counting: each pattern counted on the text
+              -- after the prior replacements (== placeholders emitted)
               SELECT doc_id,
-                     regexp_replace(regexp_replace(regexp_replace(text,
-                       '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{textops.PII_IPV4_RE}', '<IP>', 'g'),
+                     regexp_replace(t2,
                        '{textops.PII_PHONE_RE}', '<PHONE>', 'g') AS text,
                      CAST(len(regexp_extract_all(text,
                             '{textops.PII_EMAIL_RE}'))
-                        + len(regexp_extract_all(text,
+                        + len(regexp_extract_all(t1,
                             '{textops.PII_IPV4_RE}'))
-                        + len(regexp_extract_all(text,
+                        + len(regexp_extract_all(t2,
                             '{textops.PII_PHONE_RE}')) AS BIGINT) AS n_pii
-              FROM aug
+              FROM sq2
             ), lid AS (
               SELECT * FROM ({_lang_id_oracle(src="scr")})
             ), wrd AS (

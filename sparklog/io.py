@@ -129,8 +129,11 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     to the decoded body's byte length — the record-integrity check."""
     raw = spark.read.option("lineSep", WET_MAGIC).text(path)
     # the chunk before the first magic line is empty; each record chunk
-    # carries the writer's row-terminating "\n" — strip exactly one
-    rec = F.regexp_replace(F.col("value"), r"\n$", "")
+    # carries the writer's row-terminating "\n" — strip exactly one.
+    # \z (end of input), not $: Java's $ also matches BEFORE a final
+    # newline, so "\n$" would strip two trailing newlines and truncate
+    # any body that legitimately ends with "\n".
+    rec = F.regexp_replace(F.col("value"), "\\n\\z", "")
     d = raw.filter(F.col("value") != "").select(rec.alias("rec"))
     headers = F.substring_index(F.col("rec"), "\n\n", 1)
     d = d.select("rec", headers.alias("_h"))

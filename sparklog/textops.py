@@ -18,22 +18,33 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Ensure CPU-heavy per-row work has at least cluster parallelism.
 
     A small input (one parquet file -> one split) would otherwise pin a
     shingle/signature computation to a single core. The gate makes this a
-    no-op at scale: a 100 TB corpus already scans as ~10^5-10^6 splits, so
+    no-op at scale: a 100 TB corpus already scans as ~10^5-10^6 files, so
     no repartition (and no shuffle) happens there — only undersized local
     inputs get spread.
 
-    Cost note: df.rdd.getNumPartitions() forces physical planning, so
-    call spread ONCE per source per operator (minhash_neardup reuses one
-    spread shingle frame for both the signature and verification legs —
-    it used to plan twice)."""
+    partitions: explicit caller control — 0 forces a no-op (a scale
+    caller that knows its scan is already wide skips the file-index
+    lookup entirely), >0 repartitions to exactly that width.
+
+    When partitions is None the gate compares the source's FILE count
+    (df.inputFiles(), a catalog/file-index lookup — unlike the previous
+    df.rdd.getNumPartitions() it does not force physical planning or a
+    Python<->JVM RDD conversion) against defaultParallelism. File count
+    under-estimates splits for multi-split large files, so a wide-file
+    source may get one extra benign repartition — callers at that shape
+    pass partitions=0. Non-file sources (in-memory test frames) report
+    zero files and are always spread: exactly the undersized-local case
+    the helper exists for."""
+    if partitions is not None:
+        return df.repartition(partitions) if partitions > 0 else df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -90,7 +101,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
 # PII patterns: shared Java-regex/RE2 subset (char classes, \b, \d,
 # bounded repetition — no lookarounds), so Spark and the DuckDB oracle
 # compile them identically. Replacement order matters and is fixed:
-# email -> ip -> phone (counts are taken on the ORIGINAL text).
+# email -> ip -> phone; each count is taken on the text AFTER the prior
+# replacements, so counts always equal the placeholders actually
+# emitted (counting on the original text could over-count: an email
+# whose local part looks like a phone number is consumed whole by the
+# email replacement, yet would still match the phone pattern).
 PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
@@ -99,21 +114,21 @@ PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing (the C4/RefinedWeb release gate): replace emails,
     IPv4 addresses, and phone numbers with typed placeholder tokens and
-    report per-doc match counts. Pure JVM projection — regexp_replace +
-    regexp_count, no shuffle, no Python; at 100 TB this is a map-only
-    pass that pipelines into whatever scan feeds it."""
+    report per-doc match counts (n_emails + n_ips + n_phones ==
+    placeholders emitted, by construction — see pattern-order note
+    above). Pure JVM projection — regexp_replace + regexp_count, no
+    shuffle, no Python; at 100 TB this is a map-only pass that
+    pipelines into whatever scan feeds it."""
     t = F.col(text_col)
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
     return docs.select(
         "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-                PII_IPV4_RE, "<IP>"),
-            PII_PHONE_RE, "<PHONE>",
-        ).alias("clean_text"),
+        F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>").alias("clean_text"),
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t1, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE_RE)).cast("long")
+        .alias("n_phones"),
     )
 
 
@@ -243,47 +258,46 @@ def capped_sample(df: DataFrame, caps: DataFrame, part_col: str,
                   rank_col: str = "rnk") -> DataFrame:
     """Per-group cap with a PER-GROUP cap table (the training-mix
     operator: 'at most N_d docs from domain d'), deterministic by the
-    order key. Same two-phase salted shape as salted_topk — phase 1
-    prunes each (group, salt) window to the LARGEST cap (so no survivor
-    of any group's true cap can be lost), phase 2 ranks the bounded
-    survivors per group and applies that group's own cap from a
-    broadcast join. caps: (part_col, cap INT). Groups absent from caps
-    are dropped (cap 0 == explicit drop). The max-cap lookup is one
-    tiny-driver-side agg over the caps table — bounded by the number of
-    groups you budget for, which a mixture config always is."""
+    order key. Same two-phase salted shape as salted_topk, but the caps
+    table is broadcast-joined BEFORE phase 1 so each (group, salt)
+    window prunes to that group's OWN cap (not the global max): under
+    heterogeneous caps (one domain at 10M, the rest at 100) phase 2's
+    per-group window sees <= salts*own_cap rows, never salts*max_cap —
+    the hot-window problem cannot reappear through the cap table.
+    caps: (part_col, cap INT). Groups absent from caps are dropped
+    (inner join; cap 0 == explicit drop). No driver collect anywhere."""
     from pyspark.sql import Window
 
-    max_cap = caps.agg(F.max("cap")).collect()[0][0]
-    if max_cap is None:
-        return (
-            df.join(F.broadcast(caps), part_col)
-            .withColumn(rank_col, F.lit(1))
-            .filter(F.lit(False))
-            .drop("cap")
-        )
     salt = F.pmod(F.xxhash64(*order_cols), F.lit(salts))
     w1 = Window.partitionBy(part_col, "_salt").orderBy(*order_cols)
     cand = (
-        df.withColumn("_salt", salt)
+        df.join(F.broadcast(caps), part_col)
+        .withColumn("_salt", salt)
         .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= int(max_cap))
+        .filter(F.col("_r1") <= F.col("cap"))
         .drop("_r1")
     )
     w2 = Window.partitionBy(part_col).orderBy(*order_cols)
     return (
-        cand.join(F.broadcast(caps), part_col)
-        .withColumn(rank_col, F.row_number().over(w2).cast("int"))
+        cand.withColumn(rank_col, F.row_number().over(w2).cast("int"))
         .filter(F.col(rank_col) <= F.col("cap"))
         .drop("_salt", "cap")
     )
 
 
 def pack_assign(docs: DataFrame, budget: int = 512, n_buckets: int = 16,
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                group_cols: list[str] | None = None) -> DataFrame:
     """Deterministic token-budget pack assignment: every doc gets a
     global cumulative token offset and a pack (shard) id in a canonical
     content-independent order (md5 of doc_id) — the bookkeeping step
     before writing fixed-token-budget training shards.
+
+    group_cols restarts the numbering per group (e.g. ["split"]): each
+    group gets its own cum_tokens/pack_id sequence, so a trainer reading
+    one split sees gap-free pack ids whose token totals meet the budget
+    — pack ids never span groups. The offsets side grows to
+    n_groups * n_buckets rows, still broadcast-tiny.
 
     A naive global ``SUM() OVER (ORDER BY ...)`` is a single-task sort.
     Distributed prefix-sum instead: the order key's FIRST hex nibble is
@@ -304,8 +318,10 @@ def pack_assign(docs: DataFrame, budget: int = 512, n_buckets: int = 16,
         raise ValueError("n_buckets must be 16 or 256 (hex-aligned)")
     from pyspark.sql import Window
 
+    gc = list(group_cols or [])
     key = F.md5(F.col("doc_id").cast("string"))
     base = docs.select(
+        *gc,
         "doc_id",
         F.size(F.filter(F.split(F.col(text_col), " "),
                         lambda x: x != "")).cast("long").alias("n_tokens"),
@@ -317,18 +333,19 @@ def pack_assign(docs: DataFrame, budget: int = 512, n_buckets: int = 16,
     # the totals as max(_local_cum) of the windowed frame instead would
     # re-sort and re-window the whole corpus a second time (the plan
     # audit pins exactly ONE corpus-order sort).
-    totals = base.groupBy("_b").agg(F.sum("n_tokens").alias("_tot"))
-    wo = (Window.orderBy("_b")
+    totals = base.groupBy(*gc, "_b").agg(F.sum("n_tokens").alias("_tot"))
+    wo = ((Window.partitionBy(*gc) if gc else Window).orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offsets = totals.withColumn(
         "_off", F.sum("_tot").over(wo) - F.col("_tot")
-    ).select("_b", "_off")
-    w = (Window.partitionBy("_b").orderBy("_k", "doc_id")
+    ).select(*gc, "_b", "_off")
+    w = (Window.partitionBy(*gc, "_b").orderBy("_k", "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     t = base.withColumn("_local_cum", F.sum("n_tokens").over(w))
     return (
-        t.join(F.broadcast(offsets), "_b")
+        t.join(F.broadcast(offsets), gc + ["_b"])
         .select(
+            *gc,
             "doc_id",
             "n_tokens",
             (F.col("_local_cum") + F.col("_off")).alias("cum_tokens"),
@@ -508,17 +525,31 @@ def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
     )
 
 
-def profile_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def profile_docs(docs: DataFrame, text_col: str = "text",
+                 approx: bool = False, rsd: float = 0.05) -> DataFrame:
     """Corpus profile — the one-row data-quality dashboard a pipeline
     owner checks before and after every stage: doc/empty counts, exact
     char/word totals, length percentiles, distinct-content count. One
-    partial+final aggregation over a pure projection (count_distinct on
-    the 16-byte md5 adds the only shuffle-heavy term; at 100 TB swap it
-    for approx_count_distinct and re-alias — noted here, kept exact so
-    the oracle can hash-match)."""
+    partial+final aggregation over a pure projection.
+
+    approx=False (default, the oracle-gated path): exact count_distinct
+    on the 16-byte md5 (the only shuffle-heavy term) and exact
+    percentiles. approx=True is the 100 TB dashboard path: HyperLogLog++
+    approx_count_distinct(rsd) — a fixed-size sketch that merges in the
+    partial agg, so the distinct count costs NO extra shuffle volume —
+    and approx_percentile, same column names so dashboards don't care
+    which mode fed them (accuracy pinned within rsd in tests)."""
     words = F.size(F.filter(F.split(F.col(text_col), " "),
                             lambda x: x != ""))
     chars = F.length(text_col)
+    if approx:
+        p50 = F.approx_percentile("_c", F.lit(0.5)).cast("double")
+        p95 = F.approx_percentile("_c", F.lit(0.95)).cast("double")
+        ndist = F.approx_count_distinct("_m", rsd=rsd)
+    else:
+        p50 = F.percentile("_c", F.lit(0.5))
+        p95 = F.percentile("_c", F.lit(0.95))
+        ndist = F.count_distinct(F.col("_m"))
     return docs.select(
         chars.alias("_c"), words.alias("_w"),
         F.md5(F.col(text_col)).alias("_m"),
@@ -528,34 +559,39 @@ def profile_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("n_empty"),
         F.sum("_c").cast("long").alias("total_chars"),
         F.sum("_w").cast("long").alias("total_words"),
-        F.round(F.percentile("_c", F.lit(0.5)), 4).alias("p50_chars"),
-        F.round(F.percentile("_c", F.lit(0.95)), 4).alias("p95_chars"),
-        F.count_distinct(F.col("_m")).cast("long").alias("n_distinct_texts"),
+        F.round(p50, 4).alias("p50_chars"),
+        F.round(p95, 4).alias("p95_chars"),
+        ndist.cast("long").alias("n_distinct_texts"),
     )
 
 
 def contamination(docs: DataFrame, eval_docs: DataFrame,
-                  k: int = 5, text_col: str = "text") -> DataFrame:
+                  k: int = 5, text_col: str = "text",
+                  broadcast: bool = True) -> DataFrame:
     """Train-eval contamination check — the decontamination gate every
     serious pipeline runs before training: for each candidate doc, the
     fraction of its DISTINCT k-shingles that appear anywhere in the
     eval set. Docs above a threshold get quarantined (the thresholding
     is the caller's policy; this op computes the exact rate).
 
-    Plan: eval shingles -> distinct (eval sets are benchmark-sized, so
-    the membership side BROADCASTs; at terabyte eval scale the same
-    equi-join shuffles on shingle keys); candidate shingles -> explode
-    -> broadcast membership join -> one re-agg on doc_id. Rate is a raw
-    IEEE division of exact counts. Docs with no shingles (shorter than
-    k) get NULL rate."""
+    Plan: eval shingles -> distinct; candidate shingles -> explode ->
+    membership join -> one re-agg on doc_id. broadcast=True (default)
+    hints the membership side for benchmark-sized eval sets (thousands
+    of docs -> the distinct shingle set fits every executor);
+    broadcast=False drops the hint so a terabyte-scale eval suite
+    (millions of distinct shingles) shuffles both sides on the shingle
+    key instead of OOMing the driver at broadcast time — same rows
+    either way (test-pinned). Rate is a raw IEEE division of exact
+    counts. Docs with no shingles (shorter than k) get NULL rate."""
     tr = spread(docs).select(
         "doc_id", F.explode(_shingles(text_col, k)).alias("sh")
     )
     ev = eval_docs.select(
         F.explode(_shingles(text_col, k)).alias("sh")
     ).distinct().withColumn("_hit", F.lit(1))
+    memb = F.broadcast(ev) if broadcast else ev
     per = (
-        tr.join(F.broadcast(ev), "sh", "left")
+        tr.join(memb, "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),

@@ -97,24 +97,54 @@ def test_hash_chunking_is_partition_stable(spark):
 
 
 def test_build_corpus_job_end_to_end(tmp_path):
-    """The corpus-build CLI wires clean -> balance -> split -> pack ->
-    partitioned lake; stats line must be conservative (each stage keeps
-    <= previous) and the lake must be partition-pruned by split."""
+    """The corpus-build CLI wires clean -> split -> decontam + LM gates
+    -> balance -> per-split pack -> partitioned lake; stats line must be
+    conservative (each stage keeps <= previous, gate quarantine counts
+    reconcile exactly) and the lake must be partition-pruned by split."""
     import json
 
     out = subprocess.run(
         [sys.executable, "/root/repo/jobs/build_corpus.py",
          "--input", "/root/testdata/sf0.001",
-         "--output", str(tmp_path), "--parallelism", "8"],
+         "--output", str(tmp_path), "--parallelism", "8",
+         # gates ON: thresholds loose enough that the tiny corpus keeps
+         # some docs, tight enough to be non-vacuous on synthetic text
+         "--decontam-threshold", "0.95", "--lm-threshold", "20.0",
+         "--lm-vocab-k", "5000"],
         capture_output=True, text=True, timeout=420,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
-    assert stats["docs_in"] >= stats["docs_clean"] >= stats["docs_balanced"]
+    # stage conservation including the gates
+    assert stats["docs_in"] >= stats["docs_clean"]
+    assert stats["docs_gated"] == (stats["docs_clean"]
+                                   - stats["docs_decontaminated"]
+                                   - stats["docs_lm_dropped"])
+    assert stats["docs_gated"] >= stats["docs_balanced"]
     assert stats["docs_balanced"] == stats["docs_written"] > 0
+    assert stats["docs_decontaminated"] >= 0
+    assert stats["docs_lm_dropped"] >= 0
     assert stats["tokens_total"] > 0 and stats["shards"] >= 1
     assert set(stats["splits"]) <= {"train", "valid", "test"}
     assert sum(stats["splits"].values()) == stats["docs_written"]
     # split is a physical partition column -> pruned scans for a trainer
     lake = stats["lake"]
     assert any(d.startswith("split=") for d in os.listdir(lake))
+
+    # per-split packing contract: within each split, pack ids are
+    # gap-free from 0 and the cumulative token numbering restarts —
+    # a trainer reading ONE split sees full-budget shards (ADVICE r4)
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT split, min(pack_id) AS lo, max(pack_id) AS hi, "
+        f"count(DISTINCT pack_id) AS n, min(cum_tokens - n_tokens) AS c0 "
+        f"FROM read_parquet('{lake}/*/*/*.parquet', "
+        f"hive_partitioning=true) GROUP BY split"
+    ).fetchall()
+    assert rows
+    for split, lo, hi, n, c0 in rows:
+        assert lo == 0, (split, lo)
+        assert n == hi + 1, f"{split}: pack ids have gaps ({n} ids, max {hi})"
+        assert c0 == 0, f"{split}: cum_tokens does not restart at 0"

@@ -122,6 +122,11 @@ def test_wet_roundtrip_bytes_and_utf8(spark, tmp_path):
         ("https://b.example.com/p/2", "héllo wörld — café"),
         ("https://c.example.com/p/3", "multi\nline\n\nbody with blank"),
         ("https://d.example.com/p/4", ""),
+        # body ending in "\n": the reader must strip exactly ONE record
+        # terminator (\n\z anchor), not two (Java $ matches before a
+        # final newline and would truncate this body -> len_ok=0)
+        ("https://e.example.com/p/5", "body ends with newline\n"),
+        ("https://f.example.com/p/6", "double trailing\n\n"),
     ]
     df = spark.createDataFrame(rows, "url STRING, text STRING")
     path = str(tmp_path / "wet")

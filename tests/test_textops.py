@@ -761,3 +761,159 @@ def test_oov_rate_toy_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcast_off_same_rows_no_bcast_plan(spark):
+    """broadcast=False is the terabyte-eval path: the membership join
+    must shuffle on the shingle key (no BroadcastExchange anywhere in
+    the plan once auto-broadcast is disabled) and return the exact same
+    rows as the broadcast path."""
+    ev = spark.createDataFrame(
+        [(100, "abcdefgh")], "doc_id LONG, text STRING"
+    )
+    tr = spark.createDataFrame(
+        [(0, "abcdefgh"), (1, "zzzzzzzzzz"), (2, "abcdexyzw"), (3, "abc")],
+        "doc_id LONG, text STRING",
+    )
+    want = sorted(
+        TX.contamination(tr, ev).collect(), key=lambda r: r["doc_id"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = TX.contamination(tr, ev, broadcast=False)
+        got = sorted(out.collect(), key=lambda r: r["doc_id"])
+        plan = (out._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_capped_sample_heterogeneous_caps_prune_per_group(spark):
+    """Heterogeneous caps {hot: 10_000, tail: 3}: phase 1 must prune
+    each group to its OWN cap (pre-joined broadcast caps), so the tail
+    groups carry at most salts*3 rows into phase 2 — not salts*10_000
+    as global-max pruning would. Result still equals the naive
+    window + cap join exactly."""
+    import re
+
+    from pyspark.sql import Window
+
+    rows = [(i, "hot.com") for i in range(60)]
+    rows += [(1000 + 100 * d + i, f"t{d}.com")
+             for d in range(4) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id LONG, domain STRING")
+    cap_rows = [("hot.com", 10_000)] + [(f"t{d}.com", 3) for d in range(4)]
+    caps = spark.createDataFrame(cap_rows, "domain STRING, cap INT")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+
+    w = Window.partitionBy("domain").orderBy(*order)
+    want = {
+        (r["doc_id"], r["domain"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .join(caps, "domain").filter(F.col("rnk") <= F.col("cap")).collect()
+    }
+    out = TX.capped_sample(df, caps, "domain", order)
+    got = {(r["doc_id"], r["domain"], r["rnk"]) for r in out.collect()}
+    assert got == want
+    assert len(got) == 60 + 4 * 3  # hot uncapped (60 < 10k), tails at 3
+
+    # plan evidence: phase-1 prune compares the rank to the CAP COLUMN
+    # (per-group), caps arrive via a broadcast join below both windows
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert re.search(r"_r1#\d+ <= cap#", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window [row_number()") == 2
+
+    # quantitative bound, measured with the operator's own arithmetic:
+    # per-tail-domain phase-1 survivors <= salts * own_cap = 48 (global-
+    # max pruning would have passed all 100 rows of every tail domain)
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*order)
+    surv = (
+        df.join(caps, "domain")
+        .withColumn("_salt", F.pmod(F.xxhash64(*order), F.lit(16)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("cap"))
+        .groupBy("domain").count().collect()
+    )
+    by_dom = {r["domain"]: r["count"] for r in surv}
+    for d in range(4):
+        assert by_dom[f"t{d}.com"] <= 16 * 3
+
+
+def test_profile_docs_approx_within_rsd(spark):
+    """approx=True (the 100 TB dashboard path) must agree with the
+    exact profile: counts/sums identical (they stay exact), HLL++
+    distinct count within ~3*rsd, sketched percentiles in-range."""
+    docs = spark.createDataFrame(
+        [(i, ("word " * (1 + i % 37)).strip()) for i in range(500)]
+        + [(1000 + i, "") for i in range(7)],
+        "doc_id LONG, text STRING",
+    )
+    exact = TX.profile_docs(docs).collect()[0]
+    approx = TX.profile_docs(docs, approx=True, rsd=0.05).collect()[0]
+    assert approx["n_docs"] == exact["n_docs"]
+    assert approx["n_empty"] == exact["n_empty"]
+    assert approx["total_chars"] == exact["total_chars"]
+    assert approx["total_words"] == exact["total_words"]
+    rel = abs(approx["n_distinct_texts"] - exact["n_distinct_texts"]) \
+        / exact["n_distinct_texts"]
+    assert rel <= 0.15
+    assert 0 <= approx["p50_chars"] <= approx["p95_chars"] <= 37 * 5
+    # same column names/order either way: dashboards don't care
+    assert (TX.profile_docs(docs, approx=True).columns
+            == TX.profile_docs(docs).columns)
+
+
+def test_pii_scrub_counts_match_emitted_placeholders(spark):
+    """Sequential counting (ADVICE r4): a phone-shaped email local part
+    is consumed whole by the email replacement — ONE <EMAIL>, zero
+    <PHONE> — and the counts must agree with the emitted placeholders
+    (n_phones=0), not with what the original text happened to match."""
+    docs = spark.createDataFrame(
+        [
+            (0, "reach me at 123-456-7890@a.bc ok"),
+            (1, "ip-in-email 1.2.3.4@x.yz here"),
+            (2, "real phone 415-555-0000 and mail a@b.io"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in TX.pii_scrub(docs).collect()}
+    assert rows[0]["clean_text"] == "reach me at <EMAIL> ok"
+    assert (rows[0]["n_emails"], rows[0]["n_phones"]) == (1, 0)
+    assert rows[1]["clean_text"] == "ip-in-email <EMAIL> here"
+    assert (rows[1]["n_emails"], rows[1]["n_ips"]) == (1, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (1, 1)
+    n_pii = rows[0]["n_emails"] + rows[0]["n_ips"] + rows[0]["n_phones"]
+    assert n_pii == rows[0]["clean_text"].count("<")
+
+
+def test_pack_assign_group_cols_equals_per_group_runs(spark):
+    """pack_assign(group_cols=["split"]) must equal running pack_assign
+    independently on each split's subset: numbering restarts per group,
+    pack ids never span groups."""
+    docs = spark.createDataFrame(
+        [(i, ["train", "valid", "test"][i % 3],
+          " ".join(["w"] * (3 + i % 11))) for i in range(240)],
+        "doc_id LONG, split STRING, text STRING",
+    )
+    got = {
+        (r["split"], r["doc_id"]): (r["n_tokens"], r["cum_tokens"],
+                                    r["pack_id"])
+        for r in TX.pack_assign(docs, budget=37,
+                                group_cols=["split"]).collect()
+    }
+    want = {}
+    for s in ["train", "valid", "test"]:
+        sub = docs.filter(F.col("split") == s).drop("split")
+        for r in TX.pack_assign(sub, budget=37).collect():
+            want[(s, r["doc_id"])] = (r["n_tokens"], r["cum_tokens"],
+                                      r["pack_id"])
+    assert got == want
+    for s in ["train", "valid", "test"]:
+        packs = sorted({p for (sp, _), (_, _, p) in got.items() if sp == s})
+        assert packs[0] == 0 and packs == list(range(len(packs)))
