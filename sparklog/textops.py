@@ -932,7 +932,8 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
 
 
 def neardup_components(docs: DataFrame, threshold: float = 0.6,
-                       max_iters: int = 10) -> DataFrame:
+                       max_iters: int = 10,
+                       algorithm: str = "hashmin") -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
     minhash near-dup pair graph — the step that turns pairwise matches
     into keep/drop decisions (one canonical doc per cluster).
@@ -951,13 +952,20 @@ def neardup_components(docs: DataFrame, threshold: float = 0.6,
 
     Output: (doc_id, component_id = min doc_id in the component,
     is_canonical) for EVERY doc — singletons are their own component.
+
+    algorithm: "hashmin" (default — right for near-dup graphs, unions
+    of small dense clusters) or "star" (alternating large-star/small-
+    star — right for giant-component/hot-label graphs; see
+    components_from_pairs).
     """
     pairs = minhash_neardup(docs, threshold).select("doc_a", "doc_b")
-    return components_from_pairs(docs.select("doc_id"), pairs, max_iters)
+    return components_from_pairs(docs.select("doc_id"), pairs, max_iters,
+                                 algorithm=algorithm)
 
 
 def components_from_pairs(nodes: DataFrame, pairs: DataFrame,
-                          max_iters: int = 10) -> DataFrame:
+                          max_iters: int = 10,
+                          algorithm: str = "hashmin") -> DataFrame:
     """Hash-min label propagation over an undirected pair list — the
     reusable core of neardup_components (see its docstring for the scale
     analysis). nodes: (doc_id); pairs: (doc_a, doc_b).
@@ -975,8 +983,15 @@ def components_from_pairs(nodes: DataFrame, pairs: DataFrame,
     split components. The jump join shuffles the node-sized labels table
     on the label key — for near-dup graphs (unions of small cliques) no
     label is hot; a corpus-scale giant component would make its root
-    label a hot key, which is exactly the adversarial case where you'd
-    switch to alternating large-star/small-star (same join shapes)."""
+    label a hot key — pass algorithm="star" there: alternating
+    large-star/small-star rewrites the EDGE set instead of joining on
+    labels, and its only per-key aggregation is a groupBy-min (map-side
+    combiner absorbs the hot key), so a giant component never funnels
+    through one task."""
+    if algorithm == "star":
+        return _components_star(nodes, pairs, max_iters)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown components algorithm: {algorithm!r}")
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("u", "v").localCheckpoint()
@@ -1038,6 +1053,103 @@ def components_from_pairs(nodes: DataFrame, pairs: DataFrame,
         F.col("label").alias("component_id"),
         (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+def _components_star(nodes: DataFrame, pairs: DataFrame,
+                     max_iters: int = 10) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the
+    giant-component-safe backend of components_from_pairs.
+
+    Each round rewrites the EDGE set toward stars centered at component
+    minima:
+      large-star: per node u, m = min(N(u) + {u}); every neighbor v > u
+                  re-attaches as (v, m).
+      small-star: orient edges (big, small); per node u, m = min of its
+                  smaller neighbors; all of them plus u attach to m.
+    Fixpoint (edge set unchanged; both sides kept distinct, so count +
+    one-sided exceptAll proves set equality) == every non-min node holds
+    exactly the edge (node, component_min). Provably O(log n) rounds.
+
+    Skew posture vs hash-min: no join ever keys on a LABEL. The
+    per-node min is a groupBy-min (map-side combiner eats hot nodes);
+    the re-attach join keys on the node id with a single min row per
+    key on the build side, so AQE's skew split applies cleanly. Edge
+    count never grows: large-star emits <= one edge per (u, v>u) slot,
+    small-star <= one per oriented edge + one per center.
+
+    Raises like hash-min if max_iters rounds pass without a fixpoint —
+    never returns silently split components."""
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    converged = n_edges == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        # large-star: symmetrize, per-u min over neighbors+self, then
+        # re-attach every strictly-larger neighbor to that min
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (big, small); centers and all smaller
+        # neighbors attach to the per-node min
+        o = lg.select(
+            F.greatest(F.col("u"), F.col("v")).alias("uu"),
+            F.least(F.col("u"), F.col("v")).alias("vv"),
+        ).distinct()
+        mins2 = o.groupBy("uu").agg(F.min("vv").alias("m"))
+        sm = (
+            o.join(mins2, "uu")
+            .select(F.col("vv").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("uu").alias("u"),
+                                F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = sm.count()
+        if n_new == n_edges and sm.exceptAll(edges).isEmpty():
+            converged = True
+        edges, n_edges = sm, n_new
+        converged = converged or n_edges == 0
+    if not converged:
+        raise RuntimeError(
+            f"components_from_pairs[star]: no fixpoint after {max_iters} "
+            f"rounds ({n_edges} edges still rewriting) — raise max_iters; "
+            "result would be silently split components"
+        )
+    # fixpoint edges are (node, component_min) stars; min nodes and
+    # singletons label themselves
+    lab = edges.groupBy("u").agg(F.min("v").alias("_l")) \
+        .select(F.col("u").alias("doc_id"), "_l")
+    return (
+        nodes.select("doc_id").join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_l", F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("component_id")).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def ngram_jaccard(docs: DataFrame, k: int = 5) -> DataFrame:

@@ -917,3 +917,70 @@ def test_pack_assign_group_cols_equals_per_group_runs(spark):
     for s in ["train", "valid", "test"]:
         packs = sorted({p for (sp, _), (_, _, p) in got.items() if sp == s})
         assert packs[0] == 0 and packs == list(range(len(packs)))
+
+
+def test_components_star_equals_hashmin_on_random_graphs(spark):
+    """algorithm='star' (large-star/small-star) must produce exactly the
+    hash-min labeling on random graphs — chains, forests, dense blobs —
+    including full output parity (component ids AND is_canonical)."""
+    import random
+
+    for seed, n, m in ((11, 60, 40), (12, 80, 15), (13, 50, 80)):
+        rng = random.Random(seed)
+        pairs = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(m)})
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+        pdf = spark.createDataFrame(pairs or [(0, 0)],
+                                    "doc_a LONG, doc_b LONG")
+        hm = {tuple(r) for r in
+              TX.components_from_pairs(nodes, pdf).collect()}
+        st = {tuple(r) for r in
+              TX.components_from_pairs(nodes, pdf,
+                                       algorithm="star").collect()}
+        assert st == hm, f"seed={seed}"
+
+
+def test_components_star_giant_chain_logarithmic_rounds(spark):
+    """The star algorithm's O(log n) bound: a 60-hop chain (the shape
+    that forces hash-min WITH pointer jumping to ~log2 rounds too) must
+    close within 8 alternating rounds, and an unreachable budget must
+    RAISE, never silently split."""
+    import pytest
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    out = TX.components_from_pairs(nodes, pairs, max_iters=8,
+                                   algorithm="star").collect()
+    assert {r["component_id"] for r in out} == {0}
+    assert sum(r["is_canonical"] for r in out) == 1
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        TX.components_from_pairs(nodes, pairs, max_iters=1,
+                                 algorithm="star").collect()
+    with pytest.raises(ValueError, match="unknown components algorithm"):
+        TX.components_from_pairs(nodes, pairs, algorithm="bogus")
+
+
+def test_components_star_singletons_and_empty_graph(spark):
+    """No edges at all (the placeholder self-pair) -> every node its own
+    canonical component, zero rounds."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id LONG")
+    pairs = spark.createDataFrame([(0, 0)], "doc_a LONG, doc_b LONG")
+    out = TX.components_from_pairs(nodes, pairs, algorithm="star").collect()
+    assert all(r["component_id"] == r["doc_id"] for r in out)
+    assert all(r["is_canonical"] == 1 for r in out)
+
+
+def test_neardup_components_star_matches_default_on_corpus(spark):
+    """The driver's neardup_components row runs hash-min; the star
+    backend must produce the identical labeling over the same real
+    minhash near-dup graph (the oracle-gated corpus at smoke scale)."""
+    from sparklog import synth
+
+    docs = synth.load_documents(spark, "/root/testdata/sf0.001")
+    hm = {tuple(r) for r in TX.neardup_components(docs).collect()}
+    st = {tuple(r)
+          for r in TX.neardup_components(docs, algorithm="star").collect()}
+    assert st == hm and len(hm) > 0
