@@ -750,6 +750,22 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode roundtrip (new r5): deterministic binary-PPM
+    payloads per doc (synth_ppm — pure doc_id arithmetic), decoded by
+    the from-scratch netpbm decoder (sparklog.multimodal.decode_image,
+    no external codec). The oracle recomputes dimensions and the exact
+    P6 byte accounting relationally; mean/std of the decoded raster are
+    pytest-covered against numpy (not SQL-expressible)."""
+    from sparklog import multimodal as MM
+
+    _ensure_shipped(spark)
+    docs = synth.load_documents(spark, sf_dir)
+    feats = MM.image_features(MM.synth_image_df(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "channels")
+
+
 def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third sessionization twin: Spark's built-in session_window (pure
     Catalyst, streaming-ready) — same semantics, same oracle."""
@@ -1057,6 +1073,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_neardup": q_embedding_neardup,
         "json_serialize": q_json_serialize,
         "audio_meta": q_audio_meta,
+        "image_meta": q_image_meta,
     }
 
 
@@ -1739,6 +1756,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 + doc_id % 1000 AS BIGINT) AS n_samples,
                    CAST(8000 + doc_id % 1000 AS DOUBLE) / 16000 AS duration_sec
             FROM documents
+        """,
+        # image payloads are pure doc_id arithmetic (synth_ppm), so the
+        # oracle recomputes dimensions + exact P6 byte accounting
+        # (header "P6\\n{w} {h}\\n255\\n" + 3wh raster); mean/std of the
+        # decoded raster are pytest-covered against numpy
+        "image_meta": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 25 AS w,
+                     6 + doc_id % 17 AS h
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(9 + length(CAST(w AS VARCHAR))
+                          + length(CAST(h AS VARCHAR))
+                          + 3 * w * h AS BIGINT) AS byte_len,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels
+            FROM dims
         """,
         "ann_topk": _ann_topk_oracle(),
         # lsh_topk / ivf_topk: gate params are tuned for recall 1.0 at

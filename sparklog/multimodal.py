@@ -1,11 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The pages table carries ``html BINARY`` (stand-in for image/audio/video
-payloads). Image/video decoders (PIL/ffmpeg) are not in this container,
-so those decode paths are STUBBED (deterministic fake features /
-NotImplementedError) — but AUDIO decode is REAL: RIFF/WAVE payloads are
-encoded and decoded with the stdlib ``wave`` module + numpy (synth_wav /
-decode_binary / audio_features), end-to-end tested and driver-verified.
+payloads). Decode status, honestly delineated:
+
+  - AUDIO is REAL: RIFF/WAVE encode+decode via the stdlib ``wave``
+    module + numpy (synth_wav / decode_binary / audio_features),
+    end-to-end tested and driver-verified.
+  - IMAGE is REAL for the codec-free formats: binary netpbm (P5 gray /
+    P6 RGB) and uncompressed 24-bit BI_RGB BMP decode from scratch with
+    numpy (decode_image), with a real nearest-neighbor resize +
+    re-encode kernel (resize_image) and real feature extraction
+    (image_features), driver-verified (image_meta oracle row).
+  - JPEG/PNG images and ALL video remain STUBBED
+    (NotImplementedError / deterministic fakes): those containers need
+    external codecs (libjpeg/ffmpeg) absent from this environment.
+
 The Spark-side plumbing is real throughout: schema, Arrow batch shape
 (mapInPandas over binary columns), and partition-stable determinism.
 """
@@ -85,9 +94,209 @@ def decode_binary(payload: bytes) -> tuple[np.ndarray, int]:
             x = x.reshape(-1, nch).mean(axis=1)
         return x, rate
     raise NotImplementedError(
-        "image/video decode requires a codec not present in this "
-        "container (PIL/ffmpeg); WAV audio decodes for real"
+        "compressed image / video decode requires a codec not present "
+        "in this container (libjpeg/ffmpeg); WAV audio and netpbm/BMP "
+        "images decode for real (see decode_image)"
     )
+
+
+# --------------------------------------------------------------------------
+# REAL image codecs (no external library): binary netpbm + 24-bit BMP
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (H, W, 3) uint8")
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BI_RGB BMP (bottom-up
+    rows, 4-byte-aligned stride, BGR byte order — the on-disk format)."""
+    import struct
+
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8")
+    stride = (w * 3 + 3) // 4 * 4
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    pix = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+    return header + dib + pix
+
+
+def _decode_netpbm(b: bytes) -> np.ndarray:
+    """Binary netpbm: P5 (gray) -> (H, W), P6 (RGB) -> (H, W, 3).
+    Header tokens (width height maxval) separated by whitespace, with
+    `#` comments allowed; maxval <= 255 only (the 1-byte-per-sample
+    form)."""
+    pos = 2
+    vals = []
+    n = len(b)
+    while len(vals) < 3:
+        while pos < n and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and b[pos : pos + 1] == b"#":
+            while pos < n and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(b[start:pos]))
+    pos += 1  # the single whitespace byte that ends the header
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("netpbm maxval > 255 (2-byte samples)")
+    ch = 3 if b[:2] == b"P6" else 1
+    need = w * h * ch
+    raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    return raster.reshape((h, w, 3) if ch == 3 else (h, w))
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (H, W, 3) uint8 RGB. Handles
+    bottom-up (positive height) and top-down (negative) row order and
+    the 4-byte row stride."""
+    import struct
+
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    raster = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=off)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for codec-free formats: binary netpbm (P5/P6)
+    and uncompressed 24-bit BMP -> uint8 array ((H, W) gray or
+    (H, W, 3) RGB). JPEG/PNG raise NotImplementedError — entropy-coded
+    formats need a codec library this container does not have; swapping
+    one in changes only this dispatcher, none of the Spark plumbing."""
+    if not payload:
+        raise ValueError("empty image payload")
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "image format not supported without external codecs "
+        f"(magic={payload[:4]!r}); netpbm P5/P6 and 24-bit BMP decode "
+        "for real"
+    )
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 payload per doc: (6 + id%17) x (8 + id%25)
+    pixels, pixel(r, c, ch) = (id*31 + r*7 + c*3 + ch*11) % 256 — pure
+    doc_id arithmetic, so the driver oracle can recompute dimensions and
+    byte accounting relationally."""
+    h = 6 + doc_id % 17
+    w = 8 + doc_id % 25
+    r = np.arange(h, dtype=np.int64)[:, None, None] * 7
+    c = np.arange(w, dtype=np.int64)[None, :, None] * 3
+    ch = np.arange(3, dtype=np.int64)[None, None, :] * 11
+    arr = ((doc_id * 31 + r + c + ch) % 256).astype(np.uint8)
+    return encode_ppm(arr)
+
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("std_px", T.DoubleType()),
+])
+
+
+def synth_image_df(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> (doc_id, img BINARY): deterministic P6 payloads from
+    the real encoder (partitioning-independent: payload is a pure
+    function of doc_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "img": [synth_ppm(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id LONG, img BINARY")
+
+
+def image_features(images: DataFrame, binary_col: str = "img") -> DataFrame:
+    """Real feature extraction over decoded images: dimensions, channel
+    count, mean/std pixel intensity — the image analog of
+    audio_features, with an actual decoder in the loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf[binary_col]):
+                a = decode_image(b)
+                rows.append((
+                    int(did), len(b),
+                    a.shape[1], a.shape[0],
+                    a.shape[2] if a.ndim == 3 else 1,
+                    round(float(a.mean()), 4),
+                    round(float(a.std()), 4),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "byte_len", "width", "height", "channels",
+                "mean_px", "std_px",
+            ])
+
+    return images.select("doc_id", binary_col).mapInPandas(run, IMAGE_SCHEMA)
+
+
+def resize_image(images: DataFrame, width: int, height: int,
+                 binary_col: str = "img") -> DataFrame:
+    """REAL decode -> nearest-neighbor resize -> re-encode (P6). The
+    resize kernel is pure numpy index math; gray inputs are expanded to
+    RGB so the output format is uniform. Same plumbing shape as
+    resize_binary (1 row in, 1 row out), with a real codec in the
+    loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                a = decode_image(b)
+                if a.ndim == 2:
+                    a = np.repeat(a[:, :, None], 3, axis=2)
+                ri = (np.arange(height) * a.shape[0]) // height
+                ci = (np.arange(width) * a.shape[1]) // width
+                out.append(encode_ppm(np.ascontiguousarray(a[ri][:, ci])))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": np.full(len(pdf), width, dtype="int32"),
+                "height": np.full(len(pdf), height, dtype="int32"),
+                "resized": out,
+            })
+
+    return images.select("doc_id", binary_col).mapInPandas(
+        run, RESIZE_SCHEMA)
 
 
 AUDIO_SCHEMA = T.StructType([

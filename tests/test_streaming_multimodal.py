@@ -279,11 +279,63 @@ def test_multimodal_deterministic_across_partitioning(spark):
     assert a == b
 
 
-def test_decode_image_still_stubbed():
-    """Image/video formats stay NotImplementedError — PIL/ffmpeg are
-    genuinely absent from this container."""
+def test_compressed_image_and_video_still_stubbed():
+    """Entropy-coded formats stay NotImplementedError — libjpeg/ffmpeg
+    are genuinely absent from this container; only the codec-free image
+    formats (netpbm/BMP, below) decode for real."""
     with pytest.raises(NotImplementedError):
         MM.decode_binary(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\xff\xd8\xff\xe0jpeg")
+
+
+def test_image_decode_is_real_netpbm_and_bmp():
+    """From-scratch codecs: P6/P5/BMP encode->decode roundtrips are
+    pixel-exact, including BMP's bottom-up rows, BGR order, and 4-byte
+    row stride at every alignment, and netpbm header comments."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_image(MM.encode_ppm(a)), a)
+    for w in (9, 10, 11, 12):  # all stride paddings
+        b = rng.randint(0, 256, (5, w, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_image(MM.encode_bmp(b)), b), w
+    g = rng.randint(0, 256, (4, 7), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n7 4\n255\n" + g.tobytes()
+    assert np.array_equal(MM.decode_image(p5), g)
+
+
+def test_image_features_and_resize_through_spark(spark):
+    """synth -> decode -> features matches numpy exactly per doc, and
+    the real nearest-neighbor resize re-encodes to decodable P6 at the
+    target dimensions with pixels drawn from the source raster."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 5, 123, 999)], "doc_id LONG"
+    )
+    imgs = MM.synth_image_df(docs)
+    feats = {r["doc_id"]: r for r in MM.image_features(imgs).collect()}
+    for did in (0, 5, 123, 999):
+        arr = MM.decode_image(MM.synth_ppm(did))
+        r = feats[did]
+        assert (r["width"], r["height"], r["channels"]) == (
+            8 + did % 25, 6 + did % 17, 3)
+        assert r["mean_px"] == round(float(arr.mean()), 4)
+        assert r["std_px"] == round(float(arr.std()), 4)
+
+    rs = {r["doc_id"]: r for r in
+          MM.resize_image(imgs, width=4, height=3).collect()}
+    for did in (0, 5, 123, 999):
+        out = MM.decode_image(bytes(rs[did]["resized"]))
+        assert out.shape == (3, 4, 3)
+        src = MM.decode_image(MM.synth_ppm(did))
+        ri = (np.arange(3) * src.shape[0]) // 3
+        ci = (np.arange(4) * src.shape[1]) // 4
+        assert np.array_equal(out, src[ri][:, ci])
 
 
 def test_wav_decode_is_real():
