@@ -750,6 +750,40 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# line-structure augmentation for the C4 line filter: the word-salad
+# corpus is single-line with no punctuation, so the gate would be
+# vacuous on it raw. Deterministic, engine-shared: split pseudo-lines
+# at 'e '->'e.\n' (every line formed this way ends '.'), prepend a
+# banned 'lorem ipsum' line on every 7th doc (>=3 words + '.', so ONLY
+# the ban drops it), append a 1-word 'ok.' line on every 5th (punct ok,
+# so ONLY min_words drops it); the final unpunctuated tail exercises
+# the terminal-punct gate. All three gates proven non-vacuous.
+LINE_AUG_EXPR = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum filler here.' || chr(10) "
+    "ELSE '' END "
+    "|| replace(text, 'e ', 'e.' || chr(10)) "
+    "|| CASE WHEN doc_id % 5 = 1 THEN chr(10) || 'ok.' ELSE '' END"
+)
+
+
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning over the line-augmented corpus; the
+    oracle applies the identical keep-rule with DuckDB list lambdas."""
+    docs = synth.load_documents(spark, sf_dir)
+    return textops.line_filter(
+        docs.select("doc_id", F.expr(LINE_AUG_EXPR).alias("text"))
+    )
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage rates over the augmented corpus (exact copies
+    guarantee shared shingles -> non-vacuous n_dup); the oracle rebuilds
+    shingle sets + document counts relationally."""
+    return textops.dup_passages(
+        _augmented_docs(synth.load_documents(spark, sf_dir))
+    )
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode roundtrip (new r5): deterministic binary-PPM
     payloads per doc (synth_ppm — pure doc_id arithmetic), decoded by
@@ -1074,6 +1108,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "json_serialize": q_json_serialize,
         "audio_meta": q_audio_meta,
         "image_meta": q_image_meta,
+        "line_filter": q_line_filter,
+        "dup_passages": q_dup_passages,
     }
 
 
@@ -1756,6 +1792,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 + doc_id % 1000 AS BIGINT) AS n_samples,
                    CAST(8000 + doc_id % 1000 AS DOUBLE) / 16000 AS duration_sec
             FROM documents
+        """,
+        # identical keep-rule (min words, terminal punct, ban list) in
+        # DuckDB list lambdas over the same line augmentation
+        "line_filter": f"""
+            WITH aug AS (
+              SELECT doc_id, {LINE_AUG_EXPR} AS text FROM documents
+            ), l AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug
+            ), k AS (
+              SELECT doc_id, ls,
+                     list_filter(ls, x ->
+                       len(list_filter(string_split(x, ' '),
+                                       w -> w <> '')) >= 3
+                       AND substr(x, -1, 1) IN ('.', '!', '?')
+                       AND NOT contains(lower(x), 'lorem ipsum')
+                       AND NOT contains(lower(x), 'javascript')) AS ks
+              FROM l
+            )
+            SELECT doc_id,
+                   -- array_to_string([]) is NULL in DuckDB but '' in
+                   -- Spark's array_join: coalesce to the Spark value
+                   COALESCE(array_to_string(ks, chr(10)), '')
+                     AS clean_text,
+                   CAST(len(ls) AS INT) AS n_lines,
+                   CAST(len(ks) AS INT) AS n_kept
+            FROM k
+        """,
+        # relational rebuild: distinct per-doc shingles -> per-shingle
+        # document counts -> per-doc dup fraction
+        "dup_passages": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {DOC_AUG_OFFSET} AS doc_id, text
+              FROM documents WHERE doc_id % {DOC_AUG_STEP} = 0
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(CASE
+                       WHEN length(text) >= 20 THEN
+                         list_transform(range(0, length(text) - 19),
+                                        i -> substring(text, i + 1, 20))
+                       ELSE [] END)) AS sh
+              FROM base
+            ), cnt AS (
+              SELECT sh, COUNT(*) AS nd FROM sh GROUP BY sh
+            ), per AS (
+              SELECT s.doc_id,
+                     COUNT(*) AS n_shingles,
+                     SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+              FROM sh s JOIN cnt c ON c.sh = s.sh
+              GROUP BY s.doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+                   CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN NULL
+                        ELSE CAST(p.n_dup AS DOUBLE)
+                             / CAST(p.n_shingles AS DOUBLE)
+                   END AS dup_rate
+            FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
         """,
         # image payloads are pure doc_id arithmetic (synth_ppm), so the
         # oracle recomputes dimensions + exact P6 byte accounting

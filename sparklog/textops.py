@@ -746,6 +746,91 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+# C4's line-level gates (Raffel et al. §2.2 heuristics, parameterized):
+# a line survives if it has >= min_words words, ends in terminal
+# punctuation, and contains no banned phrase. Shared constants so the
+# DuckDB oracle applies the identical rule.
+LINE_MIN_WORDS = 3
+LINE_TERMINALS = (".", "!", "?")
+LINE_BANNED = ("lorem ipsum", "javascript")
+
+
+def line_filter(docs: DataFrame, text_col: str = "text",
+                min_words: int = LINE_MIN_WORDS,
+                banned: tuple = LINE_BANNED) -> DataFrame:
+    """C4-style line-level cleaning: drop boilerplate LINES inside a
+    document (too short, no terminal punctuation, banned phrases) and
+    re-join the survivors — the intra-document counterpart of the
+    document-level quality gate. Pure JVM projection (split + filter +
+    array_join higher-order functions), no shuffle, no Python: at
+    100 TB this pipelines into the scan like pii_scrub.
+
+    Output: (doc_id, clean_text, n_lines, n_kept)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        words_ok = F.size(
+            F.filter(F.split(line, " "), lambda w: w != "")
+        ) >= min_words
+        punct_ok = F.substring(line, -1, 1).isin(*LINE_TERMINALS)
+        ok = words_ok & punct_ok
+        for b in banned:
+            ok = ok & ~F.lower(line).contains(b)
+        return ok
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+    )
+
+
+def dup_passages(docs: DataFrame, k: int = 20,
+                 text_col: str = "text") -> DataFrame:
+    """Within-corpus duplicated-passage detection (the signal behind
+    exact-substring training-data dedup, Lee et al. 2022): for each doc,
+    the fraction of its distinct k-char shingles that also appear in at
+    least one OTHER document. High rates mark boilerplate/templated
+    pages whose whole-document hash is unique but whose content is not.
+
+    Plan: per-doc DISTINCT shingles (so a shingle's group count == the
+    number of documents containing it) -> one groupBy on the shingle
+    key (partial map-side combine) -> membership join back -> per-doc
+    re-agg. Both shuffles key on the shingle — uniform by construction,
+    no hot keys. Docs shorter than k get NULL rate."""
+    sh = spread(docs).select(
+        "doc_id", F.explode(_shingles(text_col, k)).alias("sh")
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_nd"))
+    per = (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            ).otherwise(
+                F.col("n_dup").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def clean_corpus_full(docs: DataFrame, lang: str = "en",
                       min_chars: int = 100, min_words: int = 20,
                       max_top_word_frac: float = 0.15) -> DataFrame:

@@ -984,3 +984,54 @@ def test_neardup_components_star_matches_default_on_corpus(spark):
     st = {tuple(r)
           for r in TX.neardup_components(docs, algorithm="star").collect()}
     assert st == hm and len(hm) > 0
+
+
+def test_line_filter_known_values(spark):
+    """Each C4 line gate on hand-built lines: min-words, terminal
+    punctuation, banned phrases; counts reconcile; map-only JVM plan."""
+    docs = spark.createDataFrame(
+        [
+            (0, "good line with words.\nno punct line\nok.\n"
+                "another good one here!"),
+            (1, "lorem ipsum dolor sit amet.\nreal content stays here."),
+            (2, "Powered by JavaScript widgets.\nkeep this sentence."),
+            (3, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in TX.line_filter(docs).collect()}
+    assert rows[0]["clean_text"] == ("good line with words.\n"
+                                     "another good one here!")
+    assert (rows[0]["n_lines"], rows[0]["n_kept"]) == (4, 2)
+    assert rows[1]["clean_text"] == "real content stays here."
+    assert rows[2]["clean_text"] == "keep this sentence."
+    assert rows[3]["clean_text"] == "" and rows[3]["n_kept"] == 0
+    plan = TX.line_filter(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dup_passages_known_values(spark):
+    """Exact copies share every shingle (rate 1.0); a doc sharing only a
+    passage gets the fractional rate; unique docs 0.0; short docs
+    NULL."""
+    boiler = "this exact passage is duplicated across"  # 40 chars
+    docs = spark.createDataFrame(
+        [
+            (0, "a" * 10 + boiler),
+            (1, "b" * 10 + boiler),          # shares the boiler passage
+            (2, "totally unique content with nothing shared at all 2"),
+            (3, "x" * 30),                   # unique
+            (4, "short"),                    # < k -> NULL
+            (5, "a" * 10 + boiler),          # exact copy of doc 0
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in TX.dup_passages(docs, k=20).collect()}
+    assert rows[0]["dup_rate"] == 1.0 and rows[5]["dup_rate"] == 1.0
+    assert 0.0 < rows[1]["dup_rate"] < 1.0
+    assert rows[1]["n_dup"] == rows[1]["n_shingles"] - \
+        ("b" * 10 + boiler).index(boiler)  # prefix shingles unique
+    assert rows[2]["dup_rate"] == 0.0 and rows[3]["dup_rate"] == 0.0
+    assert rows[4]["dup_rate"] is None and rows[4]["n_shingles"] == 0
