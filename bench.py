@@ -167,6 +167,12 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
             ("pack_assign",
              lambda: textops.pack_assign(docs).agg(
                  F.max("cum_tokens")).collect()),
+            ("dup_passages",
+             lambda: textops.dup_passages(docs).agg(
+                 F.sum("n_dup")).collect()),
+            ("line_filter",
+             lambda: textops.line_filter(docs).agg(
+                 F.sum("n_kept")).collect()),
             ("ann_topk", lambda: ann.brute_force_topk(emb).count()),
             # scale-default parameterizations (auto-derived bits /
             # centroids), not the recall-tuned gate configs

@@ -30,13 +30,21 @@ RISKY = [
     "clean_corpus_full",
     "repetition",
     "profile",
+    # r5 additions: shingle-count membership join and the dual-branch
+    # (union) JVM parse route must not depend on partitioning either
+    "dup_passages",
+    "parse_fields_jvm",
 ]
 
 
 def _rows(spark, name):
     df = E.queries()[name](spark, SF)
     cols = sorted(df.columns)
-    return sorted(
+    # multiset, not sorted list: catches dropped AND duplicated rows,
+    # and None-typed columns (nil terms) break Python's tuple sort
+    from collections import Counter
+
+    return Counter(
         tuple(r[c] for c in cols) for r in df.select(*cols).collect()
     )
 
