@@ -784,6 +784,19 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints; fps joined to a csv string so the driver
+    hash-compares a scalar column (array-column hashing is
+    representation-sensitive across engines)."""
+    out = textops.winnow_fingerprints(
+        synth.load_documents(spark, sf_dir)
+    )
+    return out.select(
+        "doc_id", "n_grams", "n_fps",
+        F.array_join("fps", ",").alias("fp_csv"),
+    )
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode roundtrip (new r5): deterministic binary-PPM
     payloads per doc (synth_ppm — pure doc_id arithmetic), decoded by
@@ -1110,6 +1123,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "image_meta": q_image_meta,
         "line_filter": q_line_filter,
         "dup_passages": q_dup_passages,
+        "winnow": q_winnow,
     }
 
 
@@ -1851,6 +1865,32 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(p.n_shingles AS DOUBLE)
                    END AS dup_rate
             FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
+        """,
+        # same winnowing scheme in DuckDB list lambdas: k-gram md5-hex
+        # prefixes, lexicographic window minima (1-based inclusive list
+        # slices l[a:b] == Spark's slice(l, a, w))
+        "winnow": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) >= 5 THEN
+                       list_transform(range(0, length(text) - 4),
+                         i -> substr(md5(substring(text, i + 1, 5)), 1, 12))
+                     ELSE [] END AS gs
+              FROM documents
+            ), wnd AS (
+              SELECT doc_id, gs,
+                     CASE WHEN len(gs) >= 4 THEN
+                       list_transform(range(0, len(gs) - 3),
+                         j -> list_aggregate(gs[j + 1 : j + 4], 'min'))
+                     ELSE [] END AS ws
+              FROM g
+            )
+            SELECT doc_id,
+                   CAST(len(gs) AS INT) AS n_grams,
+                   CAST(len(list_distinct(ws)) AS INT) AS n_fps,
+                   COALESCE(array_to_string(
+                     list_sort(list_distinct(ws)), ','), '') AS fp_csv
+            FROM wnd
         """,
         # image payloads are pure doc_id arithmetic (synth_ppm), so the
         # oracle recomputes dimensions + exact P6 byte accounting

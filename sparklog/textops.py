@@ -831,6 +831,55 @@ def dup_passages(docs: DataFrame, k: int = 20,
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        hash_hex: int = 12) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS; the
+    selection scheme behind robust local dedup in The Stack et al.):
+    hash every k-gram, then keep the MINIMUM hash of each window of w
+    consecutive k-grams. Guarantees: any shared substring of length
+    >= k + w - 1 contributes at least one identical fingerprint to both
+    documents, while only ~2/(w+1) of positions are kept — a bounded-
+    size sketch robust to insertions/reordering, unlike a whole-doc
+    hash.
+
+    Engine-portable by construction: the "hash" is the first
+    ``hash_hex`` hex chars of md5(k-gram) and windows take the
+    LEXICOGRAPHIC minimum — winnowing only needs a total order, and
+    md5-hex strings order identically in Spark and DuckDB (no integer
+    conversion, whose hex-parse functions differ between engines).
+    Pure JVM projection (sequence/transform/slice/array_min folds), no
+    shuffle, no Python. Docs shorter than k + w - 1 get zero
+    fingerprints.
+
+    Output: (doc_id, n_grams, n_fps, fps ARRAY<STRING> sorted distinct).
+    Downstream candidate generation is a groupBy/join on exploded fps —
+    the dup_passages shape, at ~2/(w+1) of its shuffle volume."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(0, length({text_col}) - {k}),"
+        f" i -> substring(md5(substring({text_col}, i + 1, {k})),"
+        f" 1, {hash_hex})) "
+        f"ELSE array() END"
+    )
+    d = docs.select("doc_id", grams.alias("_g"))
+    wins = F.expr(
+        f"CASE WHEN size(_g) >= {w} THEN "
+        f"transform(sequence(0, size(_g) - {w}),"
+        f" j -> array_min(slice(_g, j + 1, {w}))) "
+        f"ELSE array() END"
+    )
+    return d.select(
+        "doc_id",
+        F.size("_g").cast("int").alias("n_grams"),
+        F.array_sort(F.array_distinct(wins)).alias("fps"),
+    ).select(
+        "doc_id", "n_grams",
+        F.size("fps").cast("int").alias("n_fps"),
+        "fps",
+    )
+
+
 def clean_corpus_full(docs: DataFrame, lang: str = "en",
                       min_chars: int = 100, min_words: int = 20,
                       max_top_word_frac: float = 0.15) -> DataFrame:

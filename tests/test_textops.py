@@ -1035,3 +1035,32 @@ def test_dup_passages_known_values(spark):
         ("b" * 10 + boiler).index(boiler)  # prefix shingles unique
     assert rows[2]["dup_rate"] == 0.0 and rows[3]["dup_rate"] == 0.0
     assert rows[4]["dup_rate"] is None and rows[4]["n_shingles"] == 0
+
+
+def test_winnow_fingerprints_guarantee_and_sketch_size(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 (= 8 at k=5, w=4) share at least one fingerprint;
+    disjoint docs share none; the sketch is much smaller than the gram
+    count; short docs get empty sketches. Map-only JVM plan."""
+    shared = "common shared passage here"
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa " + shared + " tail one"),
+            (1, "bbbbbbb " + shared + " other end"),
+            (2, "zzzzzzzzzzzz completely different body"),
+            (3, "tiny"),  # < k
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in
+           TX.winnow_fingerprints(docs).collect()}
+    assert set(out[0]["fps"]) & set(out[1]["fps"])
+    assert not (set(out[0]["fps"]) & set(out[2]["fps"]))
+    assert out[3]["n_grams"] == 0 and out[3]["n_fps"] == 0
+    for d in (0, 1, 2):
+        assert 0 < out[d]["n_fps"] < out[d]["n_grams"]
+        assert out[d]["fps"] == sorted(set(out[d]["fps"]))
+    plan = TX.winnow_fingerprints(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
