@@ -265,7 +265,15 @@ def capped_sample(df: DataFrame, caps: DataFrame, part_col: str,
     per-group window sees <= salts*own_cap rows, never salts*max_cap —
     the hot-window problem cannot reappear through the cap table.
     caps: (part_col, cap INT). Groups absent from caps are dropped
-    (inner join; cap 0 == explicit drop). No driver collect anywhere."""
+    (inner join; cap 0 == explicit drop). No driver collect anywhere.
+
+    Trade vs salted_topk noted for the plan-reader: Spark's map-side
+    WindowGroupLimit pushdown only fires on a LITERAL rank bound, so
+    the column-bound `_r1 <= cap` filter here runs post-window instead
+    — the price of per-group pruning. That pushdown only ever saved
+    max_cap rows per (group, salt) per map partition; the per-group
+    prune saves (max_cap - own_cap) per group globally, which dominates
+    under heterogeneous caps (the case that matters)."""
     from pyspark.sql import Window
 
     salt = F.pmod(F.xxhash64(*order_cols), F.lit(salts))
