@@ -64,12 +64,30 @@ def read_syslog_text(spark: SparkSession, path: str,
 
 def read_syslog_json(spark: SparkSession, path: str, line_field: str = "raw",
                      id_field: str = "id") -> DataFrame:
-    """JSON-lines envelope: {"id": ..., "raw": "<134>1 ..."} -> (doc_id, line)."""
-    df = spark.read.json(path)
-    return df.select(
-        F.col(id_field).cast("long").alias("doc_id"),
-        F.col(line_field).alias("line"),
+    """JSON-lines envelope: {"id": ..., "raw": "<134>1 ..."} -> (doc_id, line).
+
+    Malformed envelope lines are NOT silently nulled: PERMISSIVE mode
+    captures the raw text in a corrupt-record column, which flows out
+    as the ``line`` (doc_id null), so the parse stage downstream turns
+    it into a normal reject row that still CARRIES the original bytes —
+    errors-as-data from the transport layer on down. (The old behavior
+    was an all-null row indistinguishable from a valid envelope with
+    missing fields.)"""
+    df = (
+        spark.read
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
     )
+    # inference only adds the corrupt column when malformed rows exist
+    cols = df.columns
+    line = (F.col(line_field) if line_field in cols
+            else F.lit(None).cast("string"))
+    if "_corrupt" in cols:
+        line = F.coalesce(line, F.col("_corrupt"))
+    doc_id = (F.col(id_field).cast("long") if id_field in cols
+              else F.lit(None).cast("long"))
+    return df.select(doc_id.alias("doc_id"), line.alias("line"))
 
 
 def read_syslog_csv(spark: SparkSession, path: str, line_field: str = "raw",

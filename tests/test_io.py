@@ -152,3 +152,66 @@ def test_wet_embedded_magic_is_flagged_not_silent(spark, tmp_path):
     IO.write_wet(df, path)
     out = IO.read_wet(spark, path).collect()
     assert any(r["len_ok"] != 1 for r in out)
+
+
+def test_json_envelope_malformed_lines_surface_as_rejects(spark, tmp_path):
+    """A malformed envelope line must come out with its RAW TEXT as the
+    line (doc_id null) — the parse stage then makes it a reject that
+    still carries the original bytes — never a silent all-null row."""
+    from sparklog.udf import parse_df
+
+    p = tmp_path / "env"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "raw": "<34>1 - h a p m - ok"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "raw": "<34>1 - h a p m - three"}\n'
+    )
+    out = IO.read_syslog_json(spark, str(p))
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"] is None,
+                                                r["doc_id"] or 0))
+    assert [r["doc_id"] for r in rows] == [1, 3, None]
+    assert rows[2]["line"] == "this is not json at all"
+    parsed = parse_df(out).collect()
+    errs = [r for r in parsed if r["parse_error"] is not None]
+    assert len(errs) == 1 and len(parsed) == 3  # conservation + 1 reject
+
+
+def test_json_envelope_all_valid_unchanged(spark, tmp_path):
+    """No malformed rows -> no corrupt column in the inferred schema;
+    the reader must not reference it."""
+    p = tmp_path / "env_ok"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"id": 7, "raw": "<34>1 - h a p m - x"}\n')
+    rows = IO.read_syslog_json(spark, str(p)).collect()
+    assert [(r["doc_id"], r["line"]) for r in rows] == \
+        [(7, "<34>1 - h a p m - x")]
+
+
+def test_wet_reads_gzip_compressed_parts(spark, tmp_path):
+    """Hadoop decodes .gz text transparently (by extension), so a
+    gzip-compressed WET dump reads with the same delimiter-split code
+    path. Noted trade: a .gz file is NOT splittable — one task per
+    file — so a real compressed crawl should arrive as many files."""
+    import gzip
+    import os
+
+    rows = [("https://a.example.com/1", "alpha body"),
+            ("https://b.example.com/2", "beta\nmultiline body")]
+    df = spark.createDataFrame(rows, "url STRING, text STRING")
+    plain = str(tmp_path / "wet_plain")
+    IO.write_wet(df, plain)
+    gzdir = str(tmp_path / "wet_gz")
+    os.makedirs(gzdir)
+    n = 0
+    for f in os.listdir(plain):
+        if f.startswith("part-"):
+            with open(os.path.join(plain, f), "rb") as src, \
+                    gzip.open(os.path.join(gzdir, f + ".gz"), "wb") as dst:
+                dst.write(src.read())
+            n += 1
+    assert n >= 1
+    back = {r["url"]: r for r in IO.read_wet(spark, gzdir).collect()}
+    assert set(back) == {u for u, _ in rows}
+    for url, text in rows:
+        assert back[url]["text"] == text and back[url]["len_ok"] == 1

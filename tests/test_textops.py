@@ -1064,3 +1064,29 @@ def test_winnow_fingerprints_guarantee_and_sketch_size(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_winnow_guarantee_property_batch(spark):
+    """Batched property test of the winnowing guarantee (Schleimer et
+    al. thm): for 60 seeded random pairs sharing a planted substring of
+    length >= k + w - 1 = 8, both docs must share >= 1 fingerprint.
+    One Spark job for all pairs (per-example Spark runs would be
+    seconds each); rng strings use a small alphabet to stress repeated
+    k-grams, the regime where naive min-hash selection breaks."""
+    import random
+
+    rng = random.Random(99)
+    alpha = "abcd "
+    rows = []
+    for pid in range(60):
+        shared = "".join(rng.choice(alpha) for _ in range(rng.randint(8, 20)))
+        for side in (0, 1):
+            pre = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 15)))
+            post = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 15)))
+            rows.append((pid * 2 + side, pid, pre + shared + post))
+    df = spark.createDataFrame(rows, "doc_id LONG, pair LONG, text STRING")
+    out = {r["doc_id"]: set(r["fps"]) for r in
+           TX.winnow_fingerprints(df).collect()}
+    for pid in range(60):
+        a, b = out[pid * 2], out[pid * 2 + 1]
+        assert a & b, f"pair {pid} shares no fingerprint"
