@@ -784,6 +784,32 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# realistic-markup augmentation for the HTML extractor: script with a
+# bare '<' inside, style, comments, entity-encoded tail — all pure
+# doc_id/text arithmetic so the oracle can state the EXPECTED extracted
+# text independently of the extraction regexes
+HTML_AUG_EXPR = (
+    "'<html><head><title>t</title>"
+    "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+    "<style>.c { color: red }</style></head><body><p>' || text || "
+    "'</p><!-- crawl ' || CAST(doc_id AS STRING) || ' -->"
+    "<div>&amp; tail &lt;' || CAST(doc_id % 10 AS STRING) || "
+    "'&gt;</div></body></html>'"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over realistic augmented markup; the
+    oracle computes the expected output from the same arithmetic
+    ('t' + text + decoded tail), NOT by mirroring the regexes — an
+    independent byte-identity gate on the extraction step."""
+    docs = synth.load_documents(spark, sf_dir)
+    pages = docs.select(
+        "doc_id", F.expr(HTML_AUG_EXPR).cast("binary").alias("html")
+    )
+    return textops.html_to_text(pages)
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints; fps joined to a csv string so the driver
     hash-compares a scalar column (array-column hashing is
@@ -1124,6 +1150,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "line_filter": q_line_filter,
         "dup_passages": q_dup_passages,
         "winnow": q_winnow,
+        "html_extract": q_html_extract,
     }
 
 
@@ -1865,6 +1892,16 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(p.n_shingles AS DOUBLE)
                    END AS dup_rate
             FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
+        """,
+        # expected extraction stated from synthesis arithmetic (title
+        # text survives tag-strip; entities decode; script/style/
+        # comment content vanishes) — independent of the Spark regexes
+        "html_extract": """
+            SELECT doc_id,
+                   't' || text || '& tail <'
+                       || CAST(doc_id % 10 AS VARCHAR) || '>'
+                     AS extracted_text
+            FROM documents
         """,
         # same winnowing scheme in DuckDB list lambdas: k-gram md5-hex
         # prefixes, lexicographic window minima (1-based inclusive list

@@ -839,6 +839,39 @@ def dup_passages(docs: DataFrame, k: int = 20,
     )
 
 
+# entity decode order matters: &amp; LAST, so "&amp;lt;" decodes to the
+# literal "&lt;" and not "<" (the standard double-escape rule)
+HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_to_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML -> text extraction (the WET step of a crawl pipeline): drop
+    <script>/<style> blocks and comments wholesale, strip remaining
+    tags, decode the common entities. Pure JVM regex/replace chain over
+    CAST(html AS STRING) — map-only, no shuffle, pipelines into the
+    page scan at 100 TB.
+
+    Honest scope: this is the regex-extraction subset (tags must nest
+    sanely, text content must not contain a bare '<'); a production
+    extractor adds a real tokenizer for adversarial markup. The oracle
+    does NOT mirror these regexes — it recomputes the expected text
+    from the synthesis arithmetic, so the green is an independent
+    byte-identity check (the north-rule invariant extended to the
+    extraction step).
+
+    Output: (doc_id, extracted_text)."""
+    s = F.col(html_col).cast("string")
+    # block elements remove CONTENT too ((?is): case-insensitive +
+    # dotall; the \1 backreference keeps script/style pairs matched)
+    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1>", "")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", "")
+    for ent, ch in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return pages.select("doc_id", s.alias("extracted_text"))
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
                         text_col: str = "text",
                         hash_hex: int = 12) -> DataFrame:

@@ -1090,3 +1090,40 @@ def test_winnow_guarantee_property_batch(spark):
     for pid in range(60):
         a, b = out[pid * 2], out[pid * 2 + 1]
         assert a & b, f"pair {pid} shares no fingerprint"
+
+
+def test_html_to_text_pages_roundtrip_and_entities(spark):
+    """The north-rule invariant extended to extraction: html_to_text
+    over the actual pages table recovers text byte-identically for
+    every url; double-escaped entities decode by the standard rule
+    (&amp;lt; -> literal '&lt;', never '<'); script content with a bare
+    '<' inside does not break tag stripping. Map-only JVM plan."""
+    from sparklog import synth
+
+    pages = synth.pages_df(spark, "/root/testdata/sf0.001")
+    out = TX.html_to_text(pages).join(
+        pages.select("doc_id", "text"), "doc_id"
+    )
+    assert out.filter(
+        F.col("extracted_text") != F.col("text")
+    ).count() == 0
+
+    tricky = spark.createDataFrame(
+        [
+            (0, b"<p>a &amp;lt; b</p>"),
+            (1, b"<script>if (x < 3) { y(); }</script><b>kept</b>"),
+            (2, b"pre<!-- <p>gone</p> -->post"),
+            (3, b"<STYLE>p { }</STYLE>case insensitive"),
+        ],
+        "doc_id LONG, html BINARY",
+    )
+    rows = {r["doc_id"]: r["extracted_text"]
+            for r in TX.html_to_text(tricky).collect()}
+    assert rows[0] == "a &lt; b"
+    assert rows[1] == "kept"
+    assert rows[2] == "prepost"
+    assert rows[3] == "case insensitive"
+    plan = TX.html_to_text(tricky)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
