@@ -775,6 +775,17 @@ def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global C4 line dedup over the line-augmented corpus (the
+    'e.'-split pseudo-lines repeat heavily ACROSS docs, so cross-doc
+    dedup is strongly non-vacuous); the oracle states first-occurrence
+    survival with a QUALIFY window + ordered string_agg."""
+    docs = synth.load_documents(spark, sf_dir)
+    return textops.line_dedup(
+        docs.select("doc_id", F.expr(LINE_AUG_EXPR).alias("text"))
+    )
+
+
 def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-passage rates over the augmented corpus (exact copies
     guarantee shared shingles -> non-vacuous n_dup); the oracle rebuilds
@@ -1151,6 +1162,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dup_passages": q_dup_passages,
         "winnow": q_winnow,
         "html_extract": q_html_extract,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1859,6 +1871,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ls) AS INT) AS n_lines,
                    CAST(len(ks) AS INT) AS n_kept
             FROM k
+        """,
+        # first-occurrence survival stated with a QUALIFY window +
+        # ordered string_agg (the oracle may use the hot-window form
+        # the Spark op deliberately avoids)
+        "line_dedup": f"""
+            WITH aug AS (
+              SELECT doc_id, {LINE_AUG_EXPR} AS text FROM documents
+            ), sp AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS ls
+              FROM aug
+            ), l AS (
+              SELECT doc_id, unnest(range(len(ls))) AS pos,
+                     unnest(ls) AS ln
+              FROM sp
+            ), k AS (
+              SELECT doc_id, pos, ln FROM l
+              QUALIFY row_number()
+                OVER (PARTITION BY ln ORDER BY doc_id, pos) = 1
+            ), reb AS (
+              SELECT doc_id,
+                     string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM k GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(len(s.ls) AS INT) AS n_lines,
+                   CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept
+            FROM sp s LEFT JOIN reb r ON r.doc_id = s.doc_id
         """,
         # relational rebuild: distinct per-doc shingles -> per-shingle
         # document counts -> per-doc dup fraction

@@ -795,6 +795,65 @@ def line_filter(docs: DataFrame, text_col: str = "text",
     )
 
 
+def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-global line deduplication (the C4 rule: any line occurring
+    more than once in the corpus is kept ONLY at its first occurrence,
+    ordered by (doc_id, position)): the cross-document counterpart of
+    line_filter, and the step that strips site-wide boilerplate
+    headers/footers a per-doc gate cannot see.
+
+    Skew-safe formulation: the canonical occurrence per line is
+    min(struct(doc_id, pos)) — a combiner-friendly groupBy-min (ONE row
+    out per distinct line), NOT a row_number window, because a
+    corpus-hot boilerplate line ("click here to subscribe") would pin a
+    whole window partition to one task at 100 TB; the min-struct agg
+    absorbs it map-side. Survivors then re-join on the line key (hot
+    probe side splits under AQE skew handling) and docs rebuild with a
+    per-doc sorted fold.
+
+    Output: (doc_id, clean_text, n_lines, n_kept) for every doc — a doc
+    whose every line appeared earlier comes back with empty clean_text.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    )
+    first = lines.groupBy("ln").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    kept = (
+        lines.join(first, "ln")
+        .filter(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+        .select("doc_id", "pos", "ln")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
+    )
+
+
 def dup_passages(docs: DataFrame, k: int = 20,
                  text_col: str = "text") -> DataFrame:
     """Within-corpus duplicated-passage detection (the signal behind

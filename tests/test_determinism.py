@@ -34,6 +34,7 @@ RISKY = [
     # (union) JVM parse route must not depend on partitioning either
     "dup_passages",
     "parse_fields_jvm",
+    "line_dedup",
 ]
 
 

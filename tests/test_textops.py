@@ -1127,3 +1127,30 @@ def test_html_to_text_pages_roundtrip_and_entities(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_line_dedup_first_occurrence_rule(spark):
+    """C4 corpus-global line dedup: a line repeated across (or within)
+    docs survives only at its first (doc_id, pos) occurrence; doc
+    structure and line order are preserved; a fully-duplicate doc comes
+    back empty. Plan: the canonical pick is a groupBy-min (combiner),
+    NOT a row_number window over the line key."""
+    docs = spark.createDataFrame(
+        [
+            (0, "unique alpha\nshared footer\nunique beta"),
+            (1, "shared footer\nunique gamma\nshared footer"),
+            (2, "shared footer"),
+            (3, "unique delta"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in TX.line_dedup(docs).collect()}
+    assert out[0]["clean_text"] == "unique alpha\nshared footer\nunique beta"
+    assert out[1]["clean_text"] == "unique gamma"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["clean_text"] == "unique delta"
+    plan = TX.line_dedup(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Window" not in plan  # skew-safe: no per-line-key window
+    assert "EvalPython" not in plan and "InPandas" not in plan
