@@ -173,6 +173,9 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
             ("line_filter",
              lambda: textops.line_filter(docs).agg(
                  F.sum("n_kept")).collect()),
+            ("line_dedup",
+             lambda: textops.line_dedup(docs).agg(
+                 F.sum("n_kept")).collect()),
             ("ann_topk", lambda: ann.brute_force_topk(emb).count()),
             # scale-default parameterizations (auto-derived bits /
             # centroids), not the recall-tuned gate configs

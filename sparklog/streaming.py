@@ -159,18 +159,17 @@ def clean_stream(docs: DataFrame, lang: str = "en", min_chars: int = 100,
 
     # scrub inline (a self-join to re-attach event_ts would be a
     # stream-stream join; the signals are projections, so just keep the
-    # column) — same patterns/order as textops.pii_scrub
+    # column) — same patterns/order AND sequential counting as
+    # textops.pii_scrub (each pattern counted on the text after the
+    # prior replacements, so n_pii == placeholders emitted)
     t = F.col("text")
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, textops.PII_EMAIL_RE, "<EMAIL>"),
-            textops.PII_IPV4_RE, "<IP>"),
-        textops.PII_PHONE_RE, "<PHONE>",
-    )
+    t1 = F.regexp_replace(t, textops.PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, textops.PII_IPV4_RE, "<IP>")
+    clean = F.regexp_replace(t2, textops.PII_PHONE_RE, "<PHONE>")
     n_pii = (
         F.regexp_count(t, F.lit(textops.PII_EMAIL_RE))
-        + F.regexp_count(t, F.lit(textops.PII_IPV4_RE))
-        + F.regexp_count(t, F.lit(textops.PII_PHONE_RE))
+        + F.regexp_count(t1, F.lit(textops.PII_IPV4_RE))
+        + F.regexp_count(t2, F.lit(textops.PII_PHONE_RE))
     ).cast("long")
     s = docs.select(
         "doc_id", "event_ts", clean.alias("clean_text"),
