@@ -775,6 +775,23 @@ def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# blocklist chosen against the synthesis host pool so every match mode
+# is non-vacuous: one exact host, one parent domain (blocks all
+# node-*.example.net), one deeper-than-parent entry proving
+# longest-match specificity
+URL_BLOCKLIST = ["db-03.example.com", "example.net", "node-3.example.net"]
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate over the pages table: exact-host, parent-
+    domain, and longest-match semantics all exercised; the oracle
+    rebuilds suffix generation + membership relationally."""
+    pages = synth.pages_df(spark, sf_dir)
+    bl = spark.createDataFrame([(d,) for d in URL_BLOCKLIST],
+                               "domain STRING")
+    return textops.url_filter(pages, bl)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global C4 line dedup over the line-augmented corpus (the
     'e.'-split pseudo-lines repeat heavily ACROSS docs, so cross-doc
@@ -1163,6 +1180,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "winnow": q_winnow,
         "html_extract": q_html_extract,
         "line_dedup": q_line_dedup,
+        "url_filter": q_url_filter,
     }
 
 
@@ -1871,6 +1889,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ls) AS INT) AS n_lines,
                    CAST(len(ks) AS INT) AS n_kept
             FROM k
+        """,
+        # suffix generation + membership rebuilt relationally; the url
+        # and host come from the same synthesis arithmetic
+        "url_filter": f"""
+            WITH pages AS (
+              SELECT doc_id, {R.URL} AS url,
+                     lower(regexp_extract({R.URL},
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+              FROM documents
+            ), bl(domain) AS (
+              VALUES ('db-03.example.com'), ('example.net'), ('node-3.example.net')
+            ), sfx AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, len(string_split(host, '.'))),
+                       i -> array_to_string(
+                         string_split(host, '.')[i + 1:], '.'))) AS domain
+              FROM pages
+            ), hits AS (
+              SELECT s.doc_id,
+                     arg_max(s.domain, length(s.domain)) AS matched_domain
+              FROM sfx s JOIN bl b ON b.domain = s.domain
+              GROUP BY s.doc_id
+            )
+            SELECT p.doc_id, p.url, p.host,
+                   CAST(CASE WHEN h.matched_domain IS NOT NULL
+                        THEN 1 ELSE 0 END AS INT) AS blocked,
+                   h.matched_domain
+            FROM pages p LEFT JOIN hits h ON h.doc_id = p.doc_id
         """,
         # first-occurrence survival stated with a QUALIFY window +
         # ordered string_agg (the oracle may use the hot-window form

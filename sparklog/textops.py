@@ -898,6 +898,54 @@ def dup_passages(docs: DataFrame, k: int = 20,
     )
 
 
+def url_filter(pages: DataFrame, blocklist: DataFrame,
+               url_col: str = "url") -> DataFrame:
+    """Domain-blocklist gate (the C4/RefinedWeb URL filtering stage): a
+    page is blocked when its host OR ANY PARENT DOMAIN appears in the
+    blocklist — listing "example.net" must block "node-3.example.net".
+
+    Plan: the host's domain suffixes (at most label-count per row, ~3-6
+    for real hosts) are generated JVM-side, exploded, and membership-
+    joined against the broadcast blocklist; one re-agg marks the page.
+    The blocklist is an operations artifact (thousands to low millions
+    of rows — broadcastable by construction; at larger sizes drop the
+    hint and the same equi-join shuffles on the suffix key).
+
+    blocklist: (domain STRING). Output: (doc_id, url, host, blocked INT,
+    matched_domain STRING|null — the LONGEST matching suffix, i.e. the
+    most specific listed domain)."""
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    parts = F.split(host, r"\.")
+    sufs = F.expr(
+        "transform(sequence(0, size(_parts) - 1),"
+        " i -> array_join(slice(_parts, i + 1, size(_parts) - i), '.'))"
+    )
+    base = pages.select(
+        "doc_id", F.col(url_col).alias("url"), host.alias("host"),
+        parts.alias("_parts"),
+    ).withColumn("_sufs", sufs).drop("_parts")
+    ex = base.select(
+        "doc_id", F.explode("_sufs").alias("domain")
+    )
+    hits = (
+        ex.join(F.broadcast(blocklist.select(F.lower("domain")
+                                             .alias("domain"))), "domain")
+        .groupBy("doc_id")
+        # longest match == most-specific listed domain
+        .agg(F.max_by("domain", F.length("domain")).alias("matched_domain"))
+    )
+    return (
+        base.drop("_sufs").join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "url", "host",
+            F.col("matched_domain").isNotNull().cast("int")
+            .alias("blocked"),
+            "matched_domain",
+        )
+    )
+
+
 # entity decode order matters: &amp; LAST, so "&amp;lt;" decodes to the
 # literal "&lt;" and not "<" (the standard double-escape rule)
 HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),

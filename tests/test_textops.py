@@ -1154,3 +1154,34 @@ def test_line_dedup_first_occurrence_rule(spark):
         .toString()
     assert "Window" not in plan  # skew-safe: no per-line-key window
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_url_filter_parent_domain_and_longest_match(spark):
+    """Blocklist semantics: exact host blocks; a listed parent domain
+    blocks every subdomain; the MOST SPECIFIC (longest) listed suffix
+    wins as matched_domain; unlisted hosts pass; ports/paths/case are
+    normalized away. Broadcast membership plan."""
+    pages = spark.createDataFrame(
+        [
+            (0, "https://db-03.example.com/p/0"),       # exact host
+            (1, "https://node-3.example.net/p/1"),      # deep + parent
+            (2, "https://node-7.example.net/p/2"),      # parent only
+            (3, "https://safe.example.org/p/3"),        # unlisted
+            (4, "HTTPS://DB-03.EXAMPLE.COM:8443/x?q=1"),  # case + port
+        ],
+        "doc_id LONG, url STRING",
+    )
+    bl = spark.createDataFrame(
+        [("db-03.example.com",), ("example.net",), ("node-3.example.net",)],
+        "domain STRING",
+    )
+    out = {r["doc_id"]: r for r in TX.url_filter(pages, bl).collect()}
+    assert out[0]["blocked"] == 1
+    assert out[0]["matched_domain"] == "db-03.example.com"
+    assert out[1]["matched_domain"] == "node-3.example.net"  # longest
+    assert out[2]["matched_domain"] == "example.net"
+    assert out[3]["blocked"] == 0 and out[3]["matched_domain"] is None
+    assert out[4]["blocked"] == 1 and out[4]["host"] == "db-03.example.com"
+    plan = TX.url_filter(pages, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
