@@ -9,6 +9,9 @@ Usage:
 The webtext side of the engine composed into the deliverable a training
 run actually consumes:
 
+  0. url gate    — optional (--blocklist): textops.url_filter drops pages
+                   whose host or any parent domain is listed, BEFORE any
+                   text work is spent on them.
   1. clean       — textops.clean_corpus_full: PII scrub + quality + lang +
                    repetition gates + exact dedup, ONE scan + ONE shuffle.
   2. split       — textops.split_assign: content-keyed train/valid/test
@@ -70,6 +73,10 @@ def main() -> None:
                          "(off if unset)")
     ap.add_argument("--lm-vocab-k", type=int, default=50_000,
                     help="bounded LM vocabulary size (broadcast side)")
+    ap.add_argument("--blocklist", default=None,
+                    help="comma-separated blocked domains; a host or any "
+                         "parent domain matching drops the page (off if "
+                         "unset)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -84,6 +91,20 @@ def main() -> None:
     pages = synth.pages_df(spark, args.input)
     docs = pages.select("doc_id", "url", "text")
     n_in = docs.count()
+
+    # 0. optional URL blocklist gate — cheapest filter first: a blocked
+    # page never reaches the regex/shingle stages
+    n_url_blocked = 0
+    if args.blocklist:
+        bl = spark.createDataFrame(
+            [(d.strip(),) for d in args.blocklist.split(",") if d.strip()],
+            "domain STRING",
+        )
+        verdicts = textops.url_filter(docs, bl)
+        blocked_ids = verdicts.filter(
+            F.col("blocked") == 1).select("doc_id")
+        n_url_blocked = blocked_ids.count()
+        docs = docs.join(blocked_ids, "doc_id", "left_anti")
 
     # 1. clean (the fused five-stage pass keyed on scrubbed text)
     survivors = textops.clean_corpus_full(docs.select("doc_id", "text"))
@@ -159,6 +180,7 @@ def main() -> None:
     back = spark.read.parquet(lake)
     stats = {
         "docs_in": n_in,
+        "docs_url_blocked": n_url_blocked,
         "docs_clean": n_clean,
         "docs_decontaminated": n_decontam,
         "docs_lm_dropped": n_lm_dropped,

@@ -110,13 +110,16 @@ def test_build_corpus_job_end_to_end(tmp_path):
          # gates ON: thresholds loose enough that the tiny corpus keeps
          # some docs, tight enough to be non-vacuous on synthetic text
          "--decontam-threshold", "0.95", "--lm-threshold", "20.0",
-         "--lm-vocab-k", "5000"],
+         "--lm-vocab-k", "5000",
+         # parent-domain block: drops every node-*.example.net page
+         "--blocklist", "example.net"],
         capture_output=True, text=True, timeout=420,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     # stage conservation including the gates
-    assert stats["docs_in"] >= stats["docs_clean"]
+    assert stats["docs_url_blocked"] > 0  # example.net pages exist
+    assert stats["docs_in"] - stats["docs_url_blocked"] >= stats["docs_clean"]
     assert stats["docs_gated"] == (stats["docs_clean"]
                                    - stats["docs_decontaminated"]
                                    - stats["docs_lm_dropped"])
