@@ -571,6 +571,13 @@ def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                                budget=512)
 
 
+def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized pack shards: per-pack doc counts, token totals, and
+    the concatenated pack_text in canonical order; oracle = ordered
+    string_agg over the naive global-window pack assignment."""
+    return textops.pack_texts(synth.load_documents(spark, sf_dir))
+
+
 def q_clean_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL cleaning composition (PII scrub -> quality + lang +
     repetition gates on scrubbed text -> exact dedup) over the doubly
@@ -1156,6 +1163,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "wet_roundtrip": q_wet_roundtrip,
         "capped_sample": q_capped_sample,
         "pack_assign": q_pack_assign,
+        "pack_texts": q_pack_texts,
         "quantize_emb": q_quantize_emb,
         "clean_corpus_full": q_clean_corpus_full,
         "lm_score": q_lm_score,
@@ -1498,6 +1506,32 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING
                    ) - n_tokens) // 512 AS BIGINT) AS pack_id
             FROM t
+        """,
+        # ordered string_agg over the same naive global-window packing
+        "pack_texts": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS BIGINT)
+                       AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS k
+              FROM documents
+            ), a AS (
+              SELECT doc_id, text, n_tokens, k,
+                     SUM(n_tokens) OVER (
+                       ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING
+                     ) AS cum,
+                     (SUM(n_tokens) OVER (
+                       ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING
+                     ) - n_tokens) // 512 AS pack_id
+              FROM t
+            )
+            SELECT CAST(pack_id AS BIGINT) AS pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(text, chr(10) || chr(10)
+                              ORDER BY cum, k, doc_id) AS pack_text
+            FROM a GROUP BY pack_id
         """,
         # domain = the synthesized url host, straight from the shared
         # arithmetic — checks the url build -> parse_url roundtrip

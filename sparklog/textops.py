@@ -363,6 +363,43 @@ def pack_assign(docs: DataFrame, budget: int = 512, n_buckets: int = 16,
     )
 
 
+def pack_texts(docs: DataFrame, budget: int = 512, n_buckets: int = 16,
+               text_col: str = "text",
+               group_cols: list[str] | None = None,
+               sep: str = "\n\n") -> DataFrame:
+    """Materialize the training shards pack_assign plans: each pack's
+    documents concatenated in canonical pack order (md5(doc_id)) with a
+    separator — the artifact a sequence-packing data loader actually
+    streams. One shuffle on pack_id (uniform by construction: packs are
+    contiguous ranges of a uniform hash order, all ~budget tokens).
+
+    Pack-internal order is reconstructed from (cum_tokens, md5-key,
+    doc_id) — cum_tokens alone can tie on zero-token docs, so the
+    canonical key breaks the tie exactly as pack_assign ordered it.
+
+    Output: (group_cols..., pack_id, n_docs, n_tokens, pack_text)."""
+    gc = list(group_cols or [])
+    asg = pack_assign(docs, budget=budget, n_buckets=n_buckets,
+                      text_col=text_col, group_cols=group_cols)
+    j = asg.join(docs.select("doc_id", text_col), "doc_id").withColumn(
+        "_k", F.md5(F.col("doc_id").cast("string"))
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("cum_tokens", "_k", "doc_id", text_col))
+        ),
+        lambda s: s[text_col],
+    )
+    return (
+        j.groupBy(*gc, "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(ordered, sep).alias("pack_text"),
+        )
+    )
+
+
 # content-keyed split boundaries: md5 hex strings compare lexicographically
 # identically in Spark and DuckDB, so a prefix threshold is an engine-
 # portable, partitioning-independent bucketing. Content-keyed (not id-

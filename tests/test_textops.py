@@ -1185,3 +1185,36 @@ def test_url_filter_parent_domain_and_longest_match(spark):
     plan = TX.url_filter(pages, bl)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_texts_materializes_canonical_order(spark):
+    """Concatenated shard text equals joining the docs in pack_assign's
+    canonical (md5 doc_id) order; token totals reconcile per pack; every
+    doc lands in exactly one pack; zero-token docs (cum ties) keep a
+    deterministic position."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (2 + i % 5)) if i % 7 else "")
+         for i in range(80)],
+        "doc_id LONG, text STRING",
+    )
+    asg = {r["doc_id"]: r for r in
+           TX.pack_assign(docs, budget=23).collect()}
+    packs = {r["pack_id"]: r for r in
+             TX.pack_texts(docs, budget=23).collect()}
+    import hashlib
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_pack = {}
+    for did, r in asg.items():
+        by_pack.setdefault(r["pack_id"], []).append(
+            (r["cum_tokens"], hashlib.md5(str(did).encode()).hexdigest(),
+             did)
+        )
+    assert set(packs) == set(by_pack)
+    for pid, members in by_pack.items():
+        want = "\n\n".join(texts[d] for _, _, d in sorted(members))
+        assert packs[pid]["pack_text"] == want, pid
+        assert packs[pid]["n_docs"] == len(members)
+        assert packs[pid]["n_tokens"] == sum(
+            asg[d]["n_tokens"] for _, _, d in members)
+    assert sum(p["n_docs"] for p in packs.values()) == 80
