@@ -819,6 +819,12 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams with counts; the oracle rebuilds n-gram
+    formation + counting + deterministic tie-break relationally."""
+    return textops.ngram_topk(synth.load_documents(spark, sf_dir))
+
+
 # realistic-markup augmentation for the HTML extractor: script with a
 # bare '<' inside, style, comments, entity-encoded tail — all pure
 # doc_id/text arithmetic so the oracle can state the EXPECTED extracted
@@ -1185,6 +1191,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "image_meta": q_image_meta,
         "line_filter": q_line_filter,
         "dup_passages": q_dup_passages,
+        "ngram_topk": q_ngram_topk,
         "winnow": q_winnow,
         "html_extract": q_html_extract,
         "line_dedup": q_line_dedup,
@@ -1923,6 +1930,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ls) AS INT) AS n_lines,
                    CAST(len(ks) AS INT) AS n_kept
             FROM k
+        """,
+        # n-gram formation + count + tie-break rebuilt with DuckDB list
+        # lambdas; QUALIFY rank gives the same deterministic top-k
+        "ngram_topk": """
+            WITH w AS (
+              SELECT list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), g AS (
+              SELECT unnest(CASE WHEN len(w) >= 2 THEN
+                       list_transform(range(0, len(w) - 1),
+                         i -> array_to_string(w[i + 1 : i + 2], ' '))
+                     ELSE [] END) AS ngram
+              FROM w
+            ), c AS (
+              SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+              FROM g GROUP BY ngram
+            )
+            SELECT ngram, n FROM c
+            QUALIFY row_number() OVER (ORDER BY n DESC, ngram) <= 100
         """,
         # suffix generation + membership rebuilt relationally; the url
         # and host come from the same synthesis arithmetic

@@ -456,6 +456,44 @@ def vocab_topk(docs: DataFrame, k: int = 1000,
     )
 
 
+def ngram_topk(docs: DataFrame, n: int = 2, k: int = 100,
+               text_col: str = "text",
+               sample_fraction: float = 1.0) -> DataFrame:
+    """Top-k corpus word n-grams with counts (the corpus-analysis staple
+    behind boilerplate discovery and contamination screening). n-grams
+    form JVM-side from the filtered word array (transform over a
+    sequence — no self-join), then one count aggregation on the n-gram
+    key and a distributed TakeOrderedAndProject top-k — the vocab_topk
+    shape, so no global sort and no single-task rank. Ties break by
+    n-gram text (deterministic, engine-portable). sample_fraction: the
+    same hash-keyed doc sample as vocab_topk.
+
+    Output: (ngram STRING, n BIGINT), frequency-descending."""
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got "
+                         f"{sample_fraction}")
+    if sample_fraction < 1.0:
+        docs = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != "")
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {int(n)} THEN "
+        f"transform(sequence(0, size(_w) - {int(n)}),"
+        f" i -> array_join(slice(_w, i + 1, {int(n)}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(words.alias("_w"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
 def oov_rate(docs: DataFrame, k: int = 1000,
              text_col: str = "text",
              vocab_sample_fraction: float = 1.0) -> DataFrame:
@@ -832,12 +870,16 @@ def line_filter(docs: DataFrame, text_col: str = "text",
     )
 
 
-def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               sep: str = "\n") -> DataFrame:
     """Corpus-global line deduplication (the C4 rule: any line occurring
     more than once in the corpus is kept ONLY at its first occurrence,
     ordered by (doc_id, position)): the cross-document counterpart of
     line_filter, and the step that strips site-wide boilerplate
-    headers/footers a per-doc gate cannot see.
+    headers/footers a per-doc gate cannot see. sep="\\n\\n" turns the
+    same operator into PARAGRAPH-level dedup (the granularity several
+    published pipelines use instead of lines); sep is a split REGEX —
+    escape metacharacters if you pass something exotic.
 
     Skew-safe formulation: the canonical occurrence per line is
     min(struct(doc_id, pos)) — a combiner-friendly groupBy-min (ONE row
@@ -853,7 +895,8 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+        F.posexplode(F.split(F.col(text_col), sep, -1))
+        .alias("pos", "ln"),
     )
     first = lines.groupBy("ln").agg(
         F.min(F.struct("doc_id", "pos")).alias("_first")
@@ -872,13 +915,14 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "ln"))),
                 lambda s: s["ln"],
             ),
-            "\n",
+            sep,
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
     totals = docs.select(
         "doc_id",
-        F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines"),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("int")
+        .alias("n_lines"),
     )
     return (
         totals.join(rebuilt, "doc_id", "left")

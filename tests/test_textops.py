@@ -1218,3 +1218,69 @@ def test_pack_texts_materializes_canonical_order(spark):
         assert packs[pid]["n_tokens"] == sum(
             asg[d]["n_tokens"] for _, _, d in members)
     assert sum(p["n_docs"] for p in packs.values()) == 80
+
+
+def test_line_dedup_global_invariant_and_paragraph_mode(spark):
+    """Global invariant: across ALL docs, each distinct line survives
+    EXACTLY once and nothing else survives — checked on seeded random
+    multi-line docs with heavy cross-doc repetition. sep='\\n\\n' runs
+    the identical rule at paragraph granularity."""
+    import random
+
+    rng = random.Random(7)
+    pool = [f"line {i}" for i in range(15)]
+    docs_rows = [
+        (d, "\n".join(rng.choice(pool)
+                      for _ in range(rng.randint(1, 8))))
+        for d in range(40)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id LONG, text STRING")
+    out = TX.line_dedup(docs).collect()
+    survived = []
+    for r in out:
+        if r["clean_text"]:
+            survived.extend(r["clean_text"].split("\n"))
+        assert r["n_kept"] <= r["n_lines"]
+    all_lines = {l for _, t in docs_rows for l in t.split("\n")}
+    assert sorted(survived) == sorted(all_lines)  # exactly once each
+
+    para = spark.createDataFrame(
+        [(0, "shared para\n\nunique one"),
+         (1, "unique two\n\nshared para")],
+        "doc_id LONG, text STRING",
+    )
+    pout = {r["doc_id"]: r for r in
+            TX.line_dedup(para, sep="\n\n").collect()}
+    assert pout[0]["clean_text"] == "shared para\n\nunique one"
+    assert pout[1]["clean_text"] == "unique two"
+    assert (pout[1]["n_lines"], pout[1]["n_kept"]) == (2, 1)
+
+
+def test_ngram_topk_known_counts_and_plan(spark):
+    """Hand-built corpus: bigram counts and deterministic tie-break;
+    trigram mode; short docs contribute nothing; distributed top-k
+    (TakeOrderedAndProject, no global sort)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),      # bigrams: 'a b' x2, 'b a', 'b c'
+            (1, "a b x"),          # 'a b', 'b x'
+            (2, "z"),              # no bigrams
+            (3, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = TX.ngram_topk(docs, n=2, k=3).collect()
+    assert [(r["ngram"], r["n"]) for r in rows] == \
+        [("a b", 3), ("b a", 1), ("b c", 1)]  # ties by text
+    tri = TX.ngram_topk(docs, n=3, k=2).collect()
+    # all four trigrams ('a b a','b a b','a b c','a b x') have n=1;
+    # the text tie-break keeps the 2 lexicographically smallest
+    assert [(r["ngram"], r["n"]) for r in tri] == \
+        [("a b a", 1), ("a b c", 1)]
+    plan = TX.ngram_topk(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "TakeOrderedAndProject" in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        TX.ngram_topk(docs, sample_fraction=0.0)
