@@ -176,6 +176,17 @@ def run_bench(cpus: int, sf_dir: str, target_rows: int = 2_000_000,
             ("line_dedup",
              lambda: textops.line_dedup(docs).agg(
                  F.sum("n_kept")).collect()),
+            ("ngram_topk",
+             lambda: textops.ngram_topk(docs).count()),
+            ("html_extract",
+             lambda: textops.html_to_text(
+                 spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                     "doc_id",
+                     F.concat(F.lit("<html><body>"), F.col("text"),
+                              F.lit("</body></html>")).cast("binary")
+                     .alias("html"),
+                 )
+             ).agg(F.sum(F.length("extracted_text"))).collect()),
             ("ann_topk", lambda: ann.brute_force_topk(emb).count()),
             # scale-default parameterizations (auto-derived bits /
             # centroids), not the recall-tuned gate configs
