@@ -79,12 +79,11 @@ _HEADER_RE = re.compile(
     re.DOTALL | re.ASCII,
 )
 
-# One well-formed SD-ELEMENT at the match position: [sd_id( name="value")*]
-_SDE_RE = re.compile(
-    r"\[([^ =\]]{0,128})((?: [^ =\]]{1,128}=\"(?:[^\"\\]|\\.)*\")*)\]",
-    re.DOTALL,
-)
-_PARAM_RE = re.compile(r" ([^ =\]]+)=\"((?:[^\"\\]|\\.)*)\"", re.DOTALL)
+# SD-ELEMENT scanned in ONE pass: the id at the match position, then
+# params matched one-by-one at the cursor (no element-level pre-match
+# followed by a param re-scan — that double-scanned every param region)
+_SDID_RE = re.compile(r"\[([^ =\]]{0,128})")
+_PARAM_RE = re.compile(r" ([^ =\]]{1,128})=\"((?:[^\"\\]|\\.)*)\"", re.DOTALL)
 _UNESCAPE_RE = re.compile(r"\\(.)", re.DOTALL)
 
 # ASCII-only digits: Python's \d matches unicode digits, Rust's
@@ -110,6 +109,11 @@ _DAYS_IN_MONTH = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
 
 # k fractional digits scale by 10^(9-k) to nanoseconds (parser.rs:244-254)
 _FRAC_SCALE = [None] + [10 ** (9 - k) for k in range(1, 10)]
+
+# (year_str, month, day) -> epoch days, for VALID dates only (invalid
+# dates never enter, so the validation branch still runs for them).
+# Bounded by the distinct dates a worker sees (thousands, not rows).
+_YMD_DAYS_CACHE: dict = {}
 
 
 def _is_leap(y):
@@ -386,28 +390,59 @@ def parse_message(line: str) -> dict:
 
 
 def _parse_sd_fast(rem: str):
-    """Parse remainder that starts with '['. Returns (sd, msg) or None."""
+    """Parse remainder that starts with '['. Returns (sd, msg) or None.
+
+    Tracks whether SD-IDs and param names were already encountered in
+    BTreeMap (sorted) order while building; when they were — the
+    overwhelmingly common case — the _sort_sd rebuild is skipped
+    entirely (it was ~20% of the whole parse loop). The check is
+    conservative: any doubt (duplicate ids, out-of-order keys) falls
+    back to the exact sort, so output order is byte-identical either
+    way."""
     sd: dict[str, dict[str, str]] = {}
     pos = 0
     n = len(rem)
+    srt = True
+    prev_id = ""
+    id_match = _SDID_RE.match
+    p_match = _PARAM_RE.match
     while pos < n:
-        m = _SDE_RE.match(rem, pos)
+        m = id_match(rem, pos)
         if m is None:
             return None
-        sub = sd.setdefault(m.group(1), {})
-        params = m.group(2)
-        if params:
-            for pm in _PARAM_RE.finditer(params):
-                v = pm.group(2)
-                if "\\" in v:
-                    v = _UNESCAPE_RE.sub(r"\1", v)
-                sub[pm.group(1)] = v
+        sd_id = m.group(1)
         pos = m.end()
+        if sd_id in sd:
+            sub = sd[sd_id]
+            # merged duplicate: param order vs the existing keys is not
+            # tracked — take the exact-sort path
+            srt = False
+        else:
+            if sd_id < prev_id:
+                srt = False
+            prev_id = sd_id
+            sub = sd[sd_id] = {}
+        prev_k = ""
+        while True:
+            pm = p_match(rem, pos)
+            if pm is None:
+                break
+            k, v = pm.group(1, 2)
+            if "\\" in v:
+                v = _UNESCAPE_RE.sub(r"\1", v)
+            if k < prev_k:
+                srt = False
+            prev_k = k
+            sub[k] = v
+            pos = pm.end()
+        if pos >= n or rem[pos] != "]":
+            return None
+        pos += 1
         if pos < n and rem[pos] == " ":
             break
     if pos < n and rem[pos] == " ":
         pos += 1
-    return _sort_sd(sd), rem[pos:]
+    return (sd if srt else _sort_sd(sd)), rem[pos:]
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +481,10 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
     header_match = _HEADER_RE.match
     pid_match = _PROCID_INT_RE.fullmatch
     dim_tab = _DAYS_IN_MONTH
+    # (y, mo, d) -> epoch days: log timestamps cluster on few distinct
+    # dates, so the civil-date arithmetic amortizes to one dict hit/row
+    ymd_days = _YMD_DAYS_CACHE
+    frac_scale = _FRAC_SCALE
 
     for i in range(n):
         s = vals[i]
@@ -474,13 +513,20 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
                     h = int(g[5])
                     mi = int(g[6])
                     sec = int(g[7])
-                    if not 1 <= mo <= 12:
-                        row = _parse_slow(s)
-                        break
-                    dim = dim_tab[mo] + (
-                        1 if (mo == 2 and _is_leap(int(y))) else 0
-                    )
-                    if not (1 <= d <= dim) or h > 23 or mi > 59 or sec > 59:
+                    days = ymd_days.get((y, mo, d))
+                    if days is None:
+                        if not 1 <= mo <= 12:
+                            row = _parse_slow(s)
+                            break
+                        dim = dim_tab[mo] + (
+                            1 if (mo == 2 and _is_leap(int(y))) else 0
+                        )
+                        if not 1 <= d <= dim:
+                            row = _parse_slow(s)
+                            break
+                        days = int(_days_from_civil(int(y), mo, d))
+                        ymd_days[(y, mo, d)] = days
+                    if h > 23 or mi > 59 or sec > 59:
                         row = _parse_slow(s)
                         break
                     tz = g[9]
@@ -495,10 +541,9 @@ def parse_lines(lines: pd.Series) -> pd.DataFrame:
                         off = oh * 3600 + om * 60
                         if tz[0] == "-":
                             off = -off
-                    days = _days_from_civil(int(y), mo, d)
                     secs = days * 86400 + h * 3600 + mi * 60 + sec - off
                     frac = g[8]
-                    nanos = 0 if frac is None else int(frac) * _FRAC_SCALE[len(frac)]
+                    nanos = 0 if frac is None else int(frac) * frac_scale[len(frac)]
                 # --- terms (regex guarantees '-' capture is the nil form)
                 host = g[10]
                 app = g[11]
