@@ -1084,12 +1084,9 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     Output: (doc_id, n_grams, n_fps, fps ARRAY<STRING> sorted distinct).
     Downstream candidate generation is a groupBy/join on exploded fps —
     the dup_passages shape, at ~2/(w+1) of its shuffle volume."""
-    grams = F.expr(
-        f"CASE WHEN length({text_col}) >= {k} THEN "
-        f"transform(sequence(0, length({text_col}) - {k}),"
-        f" i -> substring(md5(substring({text_col}, i + 1, {k})),"
-        f" 1, {hash_hex})) "
-        f"ELSE array() END"
+    grams = F.transform(
+        F.expr(_sliding_substr(text_col, k)),
+        lambda s: F.substring(F.md5(s), 1, hash_hex),
     )
     d = docs.select("doc_id", grams.alias("_g"))
     wins = F.expr(
@@ -1164,16 +1161,31 @@ MINHASH_PERMS = 32
 LSH_BANDS = 8  # 8 bands x 4 rows
 
 
-def _shingles(text_col: str = "text", k: int = 5) -> F.Column:
-    """Distinct k-char shingles, JVM-side: sequence + transform + substring."""
-    return F.array_distinct(
-        F.expr(
-            f"CASE WHEN length({text_col}) >= {k} THEN "
-            f"transform(sequence(0, length({text_col}) - {k}),"
-            f" i -> substring({text_col}, i + 1, {k})) "
-            f"ELSE array() END"
-        )
+def _sliding_substr(text_col: str, k: int) -> str:
+    """All k-char windows of a string as an array expression.
+
+    Two exact-identical paths: ``substring`` on a STRING indexes by CHAR
+    and UTF8String finds char i by scanning from the front — O(i) per
+    call, O(len^2) per document (measured 3x the whole shingle stage at
+    k=5). When the text is pure ASCII (length == octet_length, i.e.
+    every char is one byte) byte slicing of the BINARY cast is the same
+    operation at O(k); non-ASCII rows keep the char path. NULL text
+    falls through to array() exactly as before."""
+    seq = f"sequence(0, length({text_col}) - {k})"
+    return (
+        f"CASE WHEN length({text_col}) >= {k} THEN ("
+        f"CASE WHEN length({text_col}) = octet_length({text_col}) THEN "
+        f"transform({seq}, i -> cast(substring(cast({text_col} AS binary),"
+        f" i + 1, {k}) AS string)) "
+        f"ELSE transform({seq}, i -> substring({text_col}, i + 1, {k})) END"
+        f") ELSE array() END"
     )
+
+
+def _shingles(text_col: str = "text", k: int = 5) -> F.Column:
+    """Distinct k-char shingles, JVM-side: sequence + transform + substring
+    (byte-sliced on ASCII rows — see _sliding_substr)."""
+    return F.array_distinct(F.expr(_sliding_substr(text_col, k)))
 
 
 # Universal-hash permutations over the 31-bit Mersenne prime: shingles are
