@@ -272,13 +272,14 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     l2 = ("aggregate(zip_with(embedding, c.center,"
           " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
           " CAST(0 AS DOUBLE), (a, v) -> a + v)")
+    # array_min over (d, id) structs: ONE l2 evaluation per centroid —
+    # the previous CASE-based fold evaluated the l2 expression twice per
+    # winning comparison. Struct ordering is (d, then id), so ties still
+    # break to the lowest centroid_id; assignment is value-identical
+    # (A/B-checked) and deterministic.
     argmin = F.expr(
-        "aggregate(_cs,"
-        " named_struct('id', -1, 'd', CAST('Infinity' AS DOUBLE)),"
-        f" (acc, c) -> CASE WHEN {l2} < acc.d"
-        f" THEN named_struct('id', c.centroid_id, 'd', {l2})"
-        " ELSE acc END,"
-        " acc -> acc.id)"
+        f"array_min(transform(_cs,"
+        f" c -> named_struct('d', {l2}, 'id', c.centroid_id))).id"
     )
     assigned = (
         emb.crossJoin(F.broadcast(centers_arr))
@@ -287,13 +288,17 @@ def ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
             _norm("embedding").alias("_n"),
         )
     )
-    queries = assigned.join(
+    # queries only need (id, embedding, norm): deriving them from the
+    # raw frame instead of `assigned` avoids re-evaluating the full-
+    # corpus argmin projection a second time just to keep n_queries rows
+    # (the two consumers of `assigned` are separate physical subtrees)
+    queries = emb.join(
         F.broadcast(emb.orderBy("vec_id").limit(n_queries).select("vec_id")),
         "vec_id",
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qe"),
-        F.col("_n").alias("_qn"),
+        _norm("embedding").alias("_qn"),
     )
     # squared L2 from query to every centroid (JVM fold), keep n_probe best
     qc = queries.crossJoin(F.broadcast(centroids))
