@@ -81,6 +81,15 @@ def read_syslog_json(spark: SparkSession, path: str, line_field: str = "raw",
     )
     # inference only adds the corrupt column when malformed rows exist
     cols = df.columns
+    if cols == ["_corrupt"]:
+        # EVERY line malformed: Spark disallows referencing only the
+        # internal corrupt-record column of a raw JSON scan
+        # (AnalysisException), so re-read as plain text — the corrupt
+        # column would have carried exactly the raw line anyway
+        return spark.read.text(path).select(
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("value").alias("line"),
+        )
     line = (F.col(line_field) if line_field in cols
             else F.lit(None).cast("string"))
     if "_corrupt" in cols:

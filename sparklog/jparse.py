@@ -67,10 +67,13 @@ _TS = (
 # optional single space, MSG verbatim), or 1+ SD elements followed by
 # EOF or a space + MSG. Anything else (including a malformed element)
 # fails the match and routes to Python for the exact error variant.
+# \z, not $: Java's $ also matches before a FINAL line terminator, so a
+# trailing-newline line (which the Python/reference path rejects with
+# ExpectedTokenErr) would be routed to the fast path and mis-accepted.
 ELIGIBLE_RE = (
     r"(?s)^<\d{1,3}>\d{1,2} (?:-|" + _TS + r") "
     r"[!-~]{1,255} [!-~]{1,48} [!-~]{1,128} [!-~]{1,32} "
-    r"(?:-.*|(?:" + _ELEM + r")+(?: .*)?)?$"
+    r"(?:-.*|(?:" + _ELEM + r")+(?: .*)?)?\z"
 )
 
 _BIG = 1 << 30  # "rest of string" length for substring()
@@ -84,40 +87,68 @@ def _fdiv(a: Column, b: int) -> Column:
     return F.floor(a.cast("double") / F.lit(float(b))).cast("long")
 
 
+def _param_kv(p: Column) -> Column:
+    """One well-formed param match ` key="value"` -> struct(key, value),
+    via substring arithmetic: p = ' ' + key + '=\"' + value + '\"'. The
+    previous formulation re-ran the param REGEX twice per param (plus a
+    third pass for the un-escape); key/value positions are fully
+    determined by the key length, and keys cannot contain '=', so
+    substring_index finds the boundary exactly. The un-escape regex now
+    runs only when a backslash is present."""
+    key = F.substring_index(p.substr(F.lit(2), F.length(p)), '="', 1)
+    raw = p.substr(F.length(key) + F.lit(4),
+                   F.length(p) - F.length(key) - F.lit(4))
+    val = F.when(
+        raw.contains("\\"),
+        F.regexp_replace(raw, r"(?s)\\(.)", r"$1"),
+    ).otherwise(raw)
+    return F.struct(key.alias("key"), val.alias("value"))
+
+
 def _sd_map(sd_str: Column) -> Column:
     """Well-formed SD string -> MAP<STRING, MAP<STRING, STRING>>, all in
     the JVM: element split via regexp_extract_all, per-element params,
-    `\\x` -> `x` un-escape, duplicate-SD-ID merge preserving first-
-    occurrence id order, last-write-wins params (map_from_entries under
-    mapKeyDedupPolicy=LAST_WIN — the BTreeMap insert semantics)."""
+    `\\x` -> `x` un-escape, duplicate-SD-ID merge, last-write-wins
+    params (map_from_entries under mapKeyDedupPolicy=LAST_WIN — the
+    BTreeMap insert semantics), and — like the Python path's _sort_sd —
+    SD-IDs and param keys sorted into BTreeMap order, so to_json of the
+    two paths is byte-identical."""
     # (?s): an escaped char inside a param value may be a newline
     elems = F.transform(
         F.regexp_extract_all(sd_str, F.lit("(?s)" + _ELEM), F.lit(0)),
         lambda s: F.struct(
-            F.regexp_extract(s, r"^\[([^ =\]]*)", 1).alias("id"),
+            # id = chars of '[id' up to the first ' ' (params follow) or
+            # ']' (bare element); ids cannot contain ' ', '=' or ']'
+            F.substring_index(
+                F.substring_index(s.substr(F.lit(2), F.length(s)), " ", 1),
+                "]", 1,
+            ).alias("id"),
             F.transform(
                 F.regexp_extract_all(s, F.lit("(?s)" + _PARAM), F.lit(0)),
-                lambda p: F.struct(
-                    F.regexp_extract(p, "(?s)" + _PARAM, 1).alias("key"),
-                    F.regexp_replace(
-                        F.regexp_extract(p, "(?s)" + _PARAM, 2),
-                        r"(?s)\\(.)", r"$1"
-                    ).alias("value"),
-                ),
+                _param_kv,
             ).alias("kvs"),
         ),
     )
-    ids = F.array_distinct(F.transform(elems, lambda e: e["id"]))
+    ids = F.array_sort(F.array_distinct(F.transform(elems, lambda e: e["id"])))
     merged = F.map_from_entries(
         F.transform(
             ids,
             lambda i: F.struct(
                 i.alias("key"),
+                # LAST_WIN dedupe first (insert semantics), THEN sort the
+                # surviving entries into key order (BTreeMap iteration)
                 F.map_from_entries(
-                    F.flatten(
-                        F.transform(
-                            F.filter(elems, lambda e: e["id"] == i),
-                            lambda e: e["kvs"],
+                    F.array_sort(
+                        F.map_entries(
+                            F.map_from_entries(
+                                F.flatten(
+                                    F.transform(
+                                        F.filter(elems,
+                                                 lambda e: e["id"] == i),
+                                        lambda e: e["kvs"],
+                                    )
+                                )
+                            )
                         )
                     )
                 ).alias("value"),
@@ -139,14 +170,20 @@ def parse_df_jvm(df: DataFrame, line_col: str = "line") -> DataFrame:
     part = lambda i: F.coalesce(F.get(F.col("_p"), i), F.lit(""))  # noqa: E731
 
     # --- header scalars (try_cast: never throws under ANSI on the rows
-    # the optimizer evaluates before the eligibility predicate)
+    # the optimizer evaluates before the eligibility predicate; all
+    # substring arithmetic below is only REACHED after the eligibility
+    # rlike proved the shape — And short-circuits left-to-right — and
+    # regex extraction here was pure per-row overhead)
     p0 = part(0)
-    pri = F.regexp_extract(p0, r"^<(\d{1,3})>", 1).try_cast("int")
-    ver = F.regexp_extract(p0, r">(\d{1,2})$", 1).try_cast("int")
+    pri = F.substring_index(p0.substr(F.lit(2), F.length(p0)), ">", 1) \
+        .try_cast("int")
+    ver = F.substring_index(p0, ">", -1).try_cast("int")
     fac = F.shiftright(pri, 3)
     sev = pri % 8
 
-    # --- timestamp: strict widths make every component position-fixed
+    # --- timestamp: strict widths make every component position-fixed;
+    # the tail is 'Z' (1 char) or '±HH:MM' (6 chars), and the optional
+    # fraction fills whatever lies between the seconds and the offset
     ts = part(1)
     ts_nil = ts == "-"
     y = F.substring(ts, 1, 4).try_cast("int")
@@ -155,8 +192,12 @@ def parse_df_jvm(df: DataFrame, line_col: str = "line") -> DataFrame:
     hh = F.substring(ts, 12, 2).try_cast("int")
     mi = F.substring(ts, 15, 2).try_cast("int")
     ss = F.substring(ts, 18, 2).try_cast("int")
-    frac = F.regexp_extract(ts, r"\.(\d{1,9})", 1)
-    tz = F.regexp_extract(ts, r"(Z|[+-]\d{2}:\d{2})$", 1)
+    tz_len = F.when(ts.endswith("Z"), F.lit(1)).otherwise(F.lit(6))
+    tz = ts.substr(F.length(ts) - tz_len + F.lit(1), tz_len)
+    frac = F.when(
+        F.length(ts) > tz_len + 19,
+        ts.substr(F.lit(21), F.length(ts) - tz_len - F.lit(20)),
+    ).otherwise(F.lit(""))
     oh = F.substring(tz, 2, 2).try_cast("int")
     om = F.substring(tz, 5, 2).try_cast("int")
     leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))

@@ -44,7 +44,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
         return df.repartition(partitions) if partitions > 0 else df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if len(df.inputFiles()) < target:
+    n_files = len(df.inputFiles())
+    if n_files == 0:
+        # non-file-backed (in-memory, post-shuffle/aggregated) frame:
+        # zero files means UNKNOWN width, not narrow — fall back to the
+        # planned partition count so an already-wide frame is not
+        # re-shuffled unconditionally (costs one planning pass, only on
+        # this path)
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df
 

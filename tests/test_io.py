@@ -177,6 +177,20 @@ def test_json_envelope_malformed_lines_surface_as_rejects(spark, tmp_path):
     assert len(errs) == 1 and len(parsed) == 3  # conservation + 1 reject
 
 
+def test_json_envelope_every_line_malformed(spark, tmp_path):
+    """When EVERY envelope line is malformed the inferred schema holds
+    only the corrupt column, which a raw JSON scan cannot reference
+    alone (AnalysisException) — the reader must fall back to a text
+    read and still surface every raw line as errors-as-data."""
+    p = tmp_path / "env_bad"
+    p.mkdir()
+    (p / "a.jsonl").write_text("not json\nalso { not json\n")
+    rows = sorted(IO.read_syslog_json(spark, str(p)).collect(),
+                  key=lambda r: r["line"])
+    assert [(r["doc_id"], r["line"]) for r in rows] == \
+        [(None, "also { not json"), (None, "not json")]
+
+
 def test_json_envelope_all_valid_unchanged(spark, tmp_path):
     """No malformed rows -> no corrupt column in the inferred schema;
     the reader must not reference it."""

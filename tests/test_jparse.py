@@ -104,6 +104,13 @@ def test_parity_on_tricky_lines(spark):
         '<34>1 2003-10-11T22:14:15Z h a p m [a e="esc\\\nnewline"] m',
         '<34>1 - h a p m [' + 'x' * 129 + '] too long id',
         '<34>1 - ' + 'h' * 256 + ' a p m - too long host',
+        # trailing line terminators: Java's $ matches BEFORE a final \n,
+        # so these must NOT route to the fast path (the reference
+        # rejects them with ExpectedTokenErr) — pins the \z anchor
+        '<34>1 - h a p m [a]\n',
+        '<34>1 - h a p m [a]\r\n',
+        '<34>1 - h a p m -\n',
+        '<34>1 2003-10-11T22:14:15Z h a p m - msg\n',
     ]
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(lines)], "doc_id LONG, line STRING"

@@ -1284,3 +1284,14 @@ def test_ngram_topk_known_counts_and_plan(spark):
 
     with pytest.raises(ValueError):
         TX.ngram_topk(docs, sample_fraction=0.0)
+
+
+def test_spread_nonfile_frames_use_partition_count(spark):
+    """Zero inputFiles means UNKNOWN width, not narrow: an in-memory or
+    post-shuffle frame already at cluster parallelism must NOT get an
+    extra repartition shuffle; a genuinely narrow one still spreads."""
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target).selectExpr("id AS doc_id")
+    assert TX.spread(wide) is wide
+    narrow = spark.range(10).coalesce(1).selectExpr("id AS doc_id")
+    assert TX.spread(narrow).rdd.getNumPartitions() == target
