@@ -76,17 +76,31 @@ def procid_order() -> list[F.Column]:
 
 def enrich(parsed: DataFrame, spark: SparkSession,
            with_lang: bool = True) -> DataFrame:
-    """Broadcast hash joins against the enum dims; left joins keep rows with
-    null keys (parse errors / nil SD) flowing to the rejects sink."""
-    out = (
-        parsed
-        .join(F.broadcast(facility_lookup(spark)), "facility", "left")
-        .join(F.broadcast(severity_lookup(spark)), "severity", "left")
+    """Enum-dim enrichment as PURE PROJECTIONS: the facility/severity/
+    lang dims are closed 24/8/9-row domains, so name lookup is a literal
+    array index / literal CASE — no join operator, no BroadcastExchange
+    build per query, nothing for the driver to ship. F.get returns NULL
+    for null or out-of-range indexes, exactly the rows the previous
+    broadcast LEFT joins left unmatched (schema, column order and rows
+    are identical — A/B-verified, incl. out-of-domain keys); parse
+    errors / nil SD still flow to the rejects sink."""
+    rest = [c for c in parsed.columns if c not in ("facility", "severity")]
+    out = parsed.select(
+        "severity", "facility", *rest,
+        F.get(F.lit(list(FACILITY_NAMES)), F.col("facility"))
+        .alias("facility_name"),
+        F.get(F.lit(list(SEVERITY_NAMES)), F.col("severity"))
+        .alias("severity_name"),
     )
     if with_lang:
-        out = out.withColumn("lang_code", sd_value("sd", "meta", "lang")).join(
-            F.broadcast(lang_lookup(spark)), "lang_code", "left"
-        )
+        lang_name = F.lit(None).cast("string")
+        for code, name in reversed(list(LANG_NAMES.items())):
+            lang_name = F.when(
+                F.col("lang_code") == code, F.lit(name)
+            ).otherwise(lang_name)
+        out = out.withColumn("lang_code", sd_value("sd", "meta", "lang"))
+        cols = [c for c in out.columns if c != "lang_code"]
+        out = out.select("lang_code", *cols, lang_name.alias("lang_name"))
     return out
 
 

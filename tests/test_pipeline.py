@@ -83,10 +83,14 @@ def test_single_shuffle_for_hourly_agg(spark):
     assert plan.count("HashAggregate") == 2  # partial + final
 
 
-def test_enrich_uses_broadcast_join(spark, parsed):
+def test_enrich_is_pure_projection(spark, parsed):
+    """Enum-name enrichment must add NO join and NO exchange: the dims
+    are closed literal domains, so the lookup is a projection fused into
+    whatever scan feeds it (r6 optimization: was 3 broadcast hash
+    joins — correct but paid a BroadcastExchange build per query)."""
     plan = PL.enrich(parsed, spark)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_column_pruning_html_never_read(spark):
