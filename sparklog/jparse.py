@@ -88,21 +88,21 @@ def _fdiv(a: Column, b: int) -> Column:
 
 
 def _param_kv(p: Column) -> Column:
-    """One well-formed param match ` key="value"` -> struct(key, value),
-    via substring arithmetic: p = ' ' + key + '=\"' + value + '\"'. The
-    previous formulation re-ran the param REGEX twice per param (plus a
-    third pass for the un-escape); key/value positions are fully
-    determined by the key length, and keys cannot contain '=', so
-    substring_index finds the boundary exactly. The un-escape regex now
-    runs only when a backslash is present."""
-    key = F.substring_index(p.substr(F.lit(2), F.length(p)), '="', 1)
-    raw = p.substr(F.length(key) + F.lit(4),
-                   F.length(p) - F.length(key) - F.lit(4))
+    """One well-formed param match ` key="value"` -> struct(key, value).
+    NOTE (r6): a substring_index/substr rewrite of this extraction was
+    A/B-measured SLOWER than the compiled regex (5.97s vs 5.46s minima
+    on the sd-materializing leg) — same pattern as the header fields —
+    so the regex stays; only the un-escape is now conditional on a
+    backslash being present."""
+    raw = F.regexp_extract(p, "(?s)" + _PARAM, 2)
     val = F.when(
         raw.contains("\\"),
         F.regexp_replace(raw, r"(?s)\\(.)", r"$1"),
     ).otherwise(raw)
-    return F.struct(key.alias("key"), val.alias("value"))
+    return F.struct(
+        F.regexp_extract(p, "(?s)" + _PARAM, 1).alias("key"),
+        val.alias("value"),
+    )
 
 
 def _sd_map(sd_str: Column) -> Column:
@@ -117,12 +117,7 @@ def _sd_map(sd_str: Column) -> Column:
     elems = F.transform(
         F.regexp_extract_all(sd_str, F.lit("(?s)" + _ELEM), F.lit(0)),
         lambda s: F.struct(
-            # id = chars of '[id' up to the first ' ' (params follow) or
-            # ']' (bare element); ids cannot contain ' ', '=' or ']'
-            F.substring_index(
-                F.substring_index(s.substr(F.lit(2), F.length(s)), " ", 1),
-                "]", 1,
-            ).alias("id"),
+            F.regexp_extract(s, r"^\[([^ =\]]*)", 1).alias("id"),
             F.transform(
                 F.regexp_extract_all(s, F.lit("(?s)" + _PARAM), F.lit(0)),
                 _param_kv,
@@ -170,20 +165,18 @@ def parse_df_jvm(df: DataFrame, line_col: str = "line") -> DataFrame:
     part = lambda i: F.coalesce(F.get(F.col("_p"), i), F.lit(""))  # noqa: E731
 
     # --- header scalars (try_cast: never throws under ANSI on the rows
-    # the optimizer evaluates before the eligibility predicate; all
-    # substring arithmetic below is only REACHED after the eligibility
-    # rlike proved the shape — And short-circuits left-to-right — and
-    # regex extraction here was pure per-row overhead)
+    # the optimizer evaluates before the eligibility predicate).
+    # NOTE (r6): replacing these header regexp_extracts with substring/
+    # when arithmetic was A/B-measured SLOWER (3.41s vs 2.82s leg
+    # median) — the compiled single-pattern extracts beat the longer
+    # codegen'd when/length chains — so they stay.
     p0 = part(0)
-    pri = F.substring_index(p0.substr(F.lit(2), F.length(p0)), ">", 1) \
-        .try_cast("int")
-    ver = F.substring_index(p0, ">", -1).try_cast("int")
+    pri = F.regexp_extract(p0, r"^<(\d{1,3})>", 1).try_cast("int")
+    ver = F.regexp_extract(p0, r">(\d{1,2})$", 1).try_cast("int")
     fac = F.shiftright(pri, 3)
     sev = pri % 8
 
-    # --- timestamp: strict widths make every component position-fixed;
-    # the tail is 'Z' (1 char) or '±HH:MM' (6 chars), and the optional
-    # fraction fills whatever lies between the seconds and the offset
+    # --- timestamp: strict widths make every component position-fixed
     ts = part(1)
     ts_nil = ts == "-"
     y = F.substring(ts, 1, 4).try_cast("int")
@@ -192,12 +185,8 @@ def parse_df_jvm(df: DataFrame, line_col: str = "line") -> DataFrame:
     hh = F.substring(ts, 12, 2).try_cast("int")
     mi = F.substring(ts, 15, 2).try_cast("int")
     ss = F.substring(ts, 18, 2).try_cast("int")
-    tz_len = F.when(ts.endswith("Z"), F.lit(1)).otherwise(F.lit(6))
-    tz = ts.substr(F.length(ts) - tz_len + F.lit(1), tz_len)
-    frac = F.when(
-        F.length(ts) > tz_len + 19,
-        ts.substr(F.lit(21), F.length(ts) - tz_len - F.lit(20)),
-    ).otherwise(F.lit(""))
+    frac = F.regexp_extract(ts, r"\.(\d{1,9})", 1)
+    tz = F.regexp_extract(ts, r"(Z|[+-]\d{2}:\d{2})$", 1)
     oh = F.substring(tz, 2, 2).try_cast("int")
     om = F.substring(tz, 5, 2).try_cast("int")
     leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
