@@ -912,7 +912,11 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
         F.min(F.struct("doc_id", "pos")).alias("_first")
     )
     kept = (
-        lines.join(first, "ln")
+        # shuffle_hash: the build side (one row per DISTINCT line) is
+        # strictly smaller than the probe side (every line occurrence),
+        # and sort-merge would sort both by line TEXT — measured 10%
+        # slower; AQE skew split still applies to shuffled hash joins
+        lines.join(first.hint("shuffle_hash"), "ln")
         .filter(
             (F.col("doc_id") == F.col("_first.doc_id"))
             & (F.col("pos") == F.col("_first.pos"))
@@ -963,7 +967,11 @@ def dup_passages(docs: DataFrame, k: int = 20,
     )
     counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_nd"))
     per = (
-        sh.join(counts, "sh")
+        # shuffle_hash: the build side (one count row per DISTINCT
+        # shingle) is strictly smaller than the probe side, and
+        # sort-merge would sort 20-char shingle strings on both sides —
+        # measured 29% slower; AQE skew split applies to shuffled hash
+        sh.join(counts.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
