@@ -287,8 +287,25 @@ def parse_df_jvm(df: DataFrame, line_col: str = "line") -> DataFrame:
         & (fac <= 23)
         & ts_ok
     )
+    # Materialize the route predicate ONCE per row. Without this, the
+    # optimizer pushes each branch's filter through the `_p` projection
+    # and inlines the aliases into the condition — the executed plan
+    # then held `split(line)` 17x and the tz regexp_extract 4x inside
+    # ONE Filter node, and FilterExec codegen does no subexpression
+    # elimination, so every reference re-ran (r6 measured: 3.55s leg
+    # median vs 2.43s with the barrier). The always-true
+    # monotonically_increasing_id() >= 0 conjunct (mono ids are
+    # non-negative by construction) makes `_ok`'s defining expression
+    # NON-DETERMINISTIC, which is the documented way (optimization
+    # guide §4.4) to stop the optimizer from inlining/duplicating it —
+    # row values are unchanged on any input, including under task
+    # retries (the conjunct is constant-true regardless of the id
+    # drawn).
+    d2 = d.withColumn(
+        "_ok", route_fast & (F.monotonically_increasing_id() >= F.lit(0))
+    )
 
-    fast = d.filter(route_fast).select(
+    fast = d2.filter(F.col("_ok")).select(
         *passthrough,
         sev.cast("int").alias("severity"),
         fac.cast("int").alias("facility"),
@@ -305,7 +322,8 @@ def parse_df_jvm(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.lit(None).cast("string").alias("parse_error"),
     )
     slow = parse_df(
-        d.filter(~F.coalesce(route_fast, F.lit(False))).drop("_p"),
+        d2.filter(~F.coalesce(F.col("_ok"), F.lit(False)))
+        .drop("_p", "_ok"),
         line_col,
     )
     return fast.unionByName(slow)

@@ -59,6 +59,29 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df
 
 
+def materialized_filter(df: DataFrame, cond: F.Column) -> DataFrame:
+    """Filter WITHOUT re-evaluating the columns the predicate reads.
+
+    PushDownPredicate pushes a filter through the projection that
+    defines its input columns and INLINES the aliases into the
+    condition — and FilterExec codegen performs no subexpression
+    elimination, so every reference re-runs its whole defining
+    expression per row (measured r6: clean_corpus_full's gate filter
+    held the 3-pass PII scrub chain 22x in ONE Filter node; the jparse
+    route filter held split(line) 17x). Computing the predicate as a
+    column whose definition carries an always-true NON-DETERMINISTIC
+    conjunct (monotonically_increasing_id() is non-negative by
+    construction) pins it above its defining projection — the
+    optimization-guide §4.4 trick — so the heavy columns are
+    materialized once and the filter reads them as bound references.
+    Row set is unchanged on any input, including under task retries
+    (the conjunct is constant-true regardless of the id drawn)."""
+    d = df.withColumn(
+        "_keep", cond & (F.monotonically_increasing_id() >= F.lit(0))
+    )
+    return d.filter(F.col("_keep")).drop("_keep")
+
+
 # GPT-2-style pre-tokenizer approximation: contractions, letter runs,
 # digit runs, punctuation runs, whitespace runs. Plain alternation — valid
 # in both Java regex (Spark) and RE2 (DuckDB oracle), no lookarounds.
@@ -603,10 +626,13 @@ def clean_corpus(docs: DataFrame, lang: str = "en", min_chars: int = 100,
     Output: (doc_id, text_md5, n_copies) — one row per surviving
     canonical document."""
     scored = with_lang_pred(docs)
-    f = scored.filter(
+    # materialized_filter: a plain filter inlines the marker-word
+    # pred_lang scoring into the condition and re-runs it per row
+    f = materialized_filter(
+        scored,
         (F.length("text") >= min_chars)
         & (F.size(F.split(F.col("text"), " ")) >= min_words)
-        & (F.col("pred_lang") == lang)
+        & (F.col("pred_lang") == lang),
     )
     return (
         f.groupBy(F.md5(F.col("text")).alias("text_md5"))
@@ -1153,12 +1179,17 @@ def clean_corpus_full(docs: DataFrame, lang: str = "en",
     scored = scored.withColumn("_wf", words)
     top_frac = (_max_run(F.array_sort("_wf")).cast("double")
                 / F.size("_wf").cast("double"))
-    f = scored.filter(
+    # materialized_filter: a plain gate filter was pushed below every
+    # projection and inlined the PII scrub chain 22x (66 regexp_replace
+    # in ONE Filter node — FilterExec does no subexpression
+    # elimination); the barrier evaluates scrub/lang/repetition once
+    f = materialized_filter(
+        scored,
         (F.length("clean_text") >= min_chars)
         & (F.size(F.split(F.col("clean_text"), " ")) >= min_words)
         & (F.col("pred_lang") == lang)
         & (F.size("_wf") > 0)
-        & (top_frac <= max_top_word_frac)
+        & (top_frac <= max_top_word_frac),
     )
     return (
         f.groupBy(F.md5(F.col("clean_text")).alias("clean_md5"))
@@ -1219,10 +1250,14 @@ _MH_B = [(0xC2B2AE3D ^ (j * 0x165667B1)) % _MH_P for j in range(MINHASH_PERMS)]
 
 def shingle_sets(docs: DataFrame, text_col: str = "text",
                  k: int = 5) -> DataFrame:
-    """(doc_id, _sh) — distinct k-shingle sets; empty-set docs dropped."""
-    return spread(docs).select(
-        "doc_id", _shingles(text_col, k).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    """(doc_id, _sh) — distinct k-shingle sets; empty-set docs dropped.
+    materialized_filter: a plain filter(size(_sh) > 0) is pushed below
+    the projection and re-generates the whole shingle array just for
+    the size check (2x shingle work per row)."""
+    return materialized_filter(
+        spread(docs).select("doc_id", _shingles(text_col, k).alias("_sh")),
+        F.size("_sh") > 0,
+    )
 
 
 def minhash_signature(docs: DataFrame | None = None, text_col: str = "text",
@@ -1315,13 +1350,14 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
-    return (
+    # materialized_filter: a plain threshold filter is pushed into the
+    # verify join and re-runs the intersect/union per pair (2x)
+    return materialized_filter(
         pairs.select(
             "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+        ),
+        F.col("jaccard") >= threshold,
+    ).orderBy("doc_a", "doc_b")
 
 
 def neardup_components(docs: DataFrame, threshold: float = 0.6,
